@@ -1,0 +1,55 @@
+"""Crawl configuration & politeness constants.
+
+Mirrors the reference's compile-time envelope (clean-room, values only):
+- rate-limiter constants      — reference rate_limiter.c:10-14
+- config defaults             — reference scraper.c:44-58, types.h:42-56
+- cache / robots TTL          — reference cache.h:8, robots_parser.c:22
+- queue/budget bounds         — reference scraper.c:21-28
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# Politeness / AIMD constants (reference rate_limiter.c:10-14)
+MIN_DELAY = 1.0
+MAX_DELAY = 60.0
+ERROR_PENALTY = 2.0
+MAX_CONSECUTIVE_ERRORS = 3
+SLOW_FACTOR = 1.5  # response_time > current_delay       (rate_limiter.c:127)
+FAST_FACTOR = 0.8  # response_time < current_delay / 2   (rate_limiter.c:130)
+
+# TTLs (reference cache.h:8, robots_parser.c:22)
+CACHE_TTL_SECONDS = 86_400
+ROBOTS_TTL_SECONDS = 86_400
+
+# Reference concurrency envelope (scraper.c:21-28) — informational
+REFERENCE_NUM_THREADS = 8
+REFERENCE_QUEUE_SIZE = 1000
+MAX_RESPONSE_SIZE = 1_048_576  # 1 MB response cap (scraper.c:28)
+
+
+@dataclass
+class CrawlConfig:
+    """Engine-level crawl configuration (reference types.h:42-56 defaults)."""
+
+    max_depth: int = 3            # scraper.c:45
+    max_pages: int = 1000         # scraper.c:46
+    respect_robots: bool = True   # scraper.c:48
+    force_rescrape: bool = False  # scraper.c:53
+    user_agent: str = "WebScraperBot/1.0"  # scraper.c:54
+    request_timeout: int = 30     # scraper.c:55
+    retry_count: int = 3          # scraper.c:56
+    retry_delay: int = 5          # scraper.c:57
+
+    # Engine knobs (no reference analog — Spark-side scale controls)
+    seed: int = 42
+    horizon: float = 8.0          # politeness window length per generation (s)
+    num_shards: int = 32          # seen-set shards (>=4096 at cluster scale)
+    shuffle_partitions: int = 32
+    hot_host_threshold: int = 64  # candidates/generation above which a host is salted
+    hot_host_salt: int = 8        # number of salt sub-shards for hot hosts
+    bloom_fpp: float = 0.01
+    oracle_mode: bool = False     # batch-of-1 generations → exact ZSET pop order
+
+    extra_spark_conf: dict = field(default_factory=dict)

@@ -1,0 +1,168 @@
+"""HTML extraction + content analysis as Arrow-vectorized pandas UDFs.
+
+Clean-room re-expression of the reference's libxml2-based extractors:
+
+- title       — XPath //title first node        (extract_title.c:8-51)
+- description — //meta[@name='description']     (content_analyzer.c:137-173)
+- keywords    — //meta[@name='keywords']        (content_analyzer.c:176-212)
+- text        — DOM text nodes, skipping <script>/<style>, space-joined
+                (content_analyzer.c:35-95)
+- links       — //a/@href                       (extract_hrefs.c:103-147)
+- images      — //img src/alt/width/height      (data_store.c:121-148 sink)
+- sentiment   — SUBSTRING (not token) occurrence counts of a fixed
+                10+10 lexicon; score = (pos-neg)/(pos+neg), 0 when none
+                (content_analyzer.c:215-257)
+
+The synthetic web corpus (synth.py) emits well-formed HTML, so the
+regex-based parse is exact on engine inputs; the libxml2 HTML-recover
+behavior on broken markup is out of contract.
+
+Everything runs inside Arrow batches over pandas Series — no per-row
+Python UDFs are registered with Spark.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+POSITIVE_WORDS = [
+    "good", "great", "excellent", "amazing", "wonderful",
+    "best", "love", "happy", "joy", "success",
+]
+NEGATIVE_WORDS = [
+    "bad", "terrible", "awful", "worst", "hate",
+    "sad", "angry", "failure", "poor", "disaster",
+]
+
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.IGNORECASE | re.DOTALL)
+_META_RE_TPL = r'<meta\s+name="{name}"\s+content="([^"]*)"'
+_DESC_RE = re.compile(_META_RE_TPL.format(name="description"), re.IGNORECASE)
+_KEYW_RE = re.compile(_META_RE_TPL.format(name="keywords"), re.IGNORECASE)
+_HREF_RE = re.compile(r"<a\s[^>]*?href=\"([^\"]*)\"", re.IGNORECASE)
+_IMG_RE = re.compile(
+    r'<img\s+src="([^"]*)"(?:\s+alt="([^"]*)")?(?:\s+width="(\d+)")?(?:\s+height="(\d+)")?',
+    re.IGNORECASE,
+)
+_SCRIPT_STYLE_RE = re.compile(r"<(script|style)\b.*?</\1>", re.IGNORECASE | re.DOTALL)
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def _as_text(content: pd.Series) -> pd.Series:
+    """binary or string content column → python str Series."""
+    if len(content) and isinstance(content.iloc[0], (bytes, bytearray)):
+        return content.map(lambda b: b.decode("utf-8", "replace") if b is not None else None)
+    return content
+
+
+def extract_title_series(html: pd.Series) -> pd.Series:
+    return _as_text(html).str.extract(_TITLE_RE, expand=False)
+
+
+def extract_desc_series(html: pd.Series) -> pd.Series:
+    return _as_text(html).str.extract(_DESC_RE, expand=False)
+
+
+def extract_keywords_series(html: pd.Series) -> pd.Series:
+    return _as_text(html).str.extract(_KEYW_RE, expand=False)
+
+
+def extract_text_series(html: pd.Series) -> pd.Series:
+    """Visible text: drop script/style blocks, strip tags, space-join
+    (the reference appends a space after every text node)."""
+    s = _as_text(html)
+    s = s.str.replace(_SCRIPT_STYLE_RE, " ", regex=True)
+    s = s.str.replace(_TAG_RE, " ", regex=True)
+    return s
+
+
+def sentiment_series(text: pd.Series) -> pd.Series:
+    """Exact reference formula: non-overlapping substring counts."""
+    pos = sum(text.str.count(re.escape(w)) for w in POSITIVE_WORDS)
+    neg = sum(text.str.count(re.escape(w)) for w in NEGATIVE_WORDS)
+    total = pos + neg
+    score = (pos - neg) / total.where(total > 0)
+    return score.fillna(0.0)
+
+
+def extract_links_series(html: pd.Series) -> pd.Series:
+    return _as_text(html).map(lambda s: _HREF_RE.findall(s) if s else [])
+
+
+def extract_images_series(html: pd.Series) -> pd.Series:
+    def one(s):
+        if not s:
+            return []
+        out = []
+        for src, alt, w, h in _IMG_RE.findall(s):
+            out.append(
+                {
+                    "src": src,
+                    "alt": alt or None,
+                    "width": int(w) if w else None,
+                    "height": int(h) if h else None,
+                }
+            )
+        return out
+
+    return _as_text(html).map(one)
+
+
+# ------------------------------------------------------------------ Spark UDFs
+@F.pandas_udf(T.StringType())
+def title_udf(html: pd.Series) -> pd.Series:
+    return extract_title_series(html)
+
+
+@F.pandas_udf(T.StringType())
+def description_udf(html: pd.Series) -> pd.Series:
+    return extract_desc_series(html)
+
+
+@F.pandas_udf(T.StringType())
+def keywords_udf(html: pd.Series) -> pd.Series:
+    return extract_keywords_series(html)
+
+
+@F.pandas_udf(T.DoubleType())
+def sentiment_udf(html: pd.Series) -> pd.Series:
+    return sentiment_series(extract_text_series(html))
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def links_udf(html: pd.Series) -> pd.Series:
+    return extract_links_series(html)
+
+
+_IMG_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("src", T.StringType()),
+            T.StructField("alt", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_IMG_SCHEMA)
+def images_udf(html: pd.Series) -> pd.Series:
+    return extract_images_series(html)
+
+
+def sentiment_sql_expr(text: Column) -> Column:
+    """Sentiment re-expressed as a pure JVM column expression (no Python):
+    substring counts via length-difference. Used by the SQL-oracle query
+    surface; numerically identical to sentiment_udf on the same text."""
+    def count_word(w: str) -> Column:
+        return (F.length(text) - F.length(F.replace(text, F.lit(w), F.lit("")))) / len(w)
+
+    pos = sum(count_word(w) for w in POSITIVE_WORDS)
+    neg = sum(count_word(w) for w in NEGATIVE_WORDS)
+    total = pos + neg
+    return F.when(total > 0, (pos - neg) / total).otherwise(F.lit(0.0))

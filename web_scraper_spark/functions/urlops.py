@@ -1,0 +1,176 @@
+"""URL operators: canonicalization, host extraction, base/path split.
+
+Semantics match the reference exactly (clean-room reimplementation):
+
+- ``canonicalize_urls`` — reference ``normalize_url`` (extract_hrefs.c:25-74):
+  * None/empty href → null
+  * ``javascript:`` / ``mailto:`` prefixes → null
+  * fragment (`#...`) truncated BEFORE the absolute-URL check
+  * already-absolute http(s) hrefs returned as-is (trailing slash KEPT —
+    a reference quirk: the strdup branch skips the trailing-slash strip)
+  * relative hrefs resolved against the base (RFC-3986 merge + dot-segment
+    removal, the xmlBuildURI analog), then ONE trailing slash stripped
+    when len > 1
+- ``host_expr`` — reference ``extract_domain`` (robots_parser.c:41-60):
+  substring between ``://`` and the next ``/``; keeps port and case;
+  null when no ``://``.
+- ``split_base_path_exprs`` — reference ``split_url`` (scraper.c:61-73):
+  split at the first ``/`` at index >= 8; path defaults to ``/``.
+- ``normalize_path_expr`` — reference ``normalize_path``
+  (robots_parser.c:66-105): truncate at the first ``?`` or ``#``, strip ALL
+  trailing slashes, null when >= 2048 chars (callers treat null as allow).
+
+All heavy lifting is Arrow-vectorized (pandas str ops); no per-row Python
+UDFs. SHA1 keys use Spark's JVM-side ``sha1`` builtin.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAX_RULE_LENGTH = 2048  # robots_parser.c:21
+
+
+# --------------------------------------------------------------------------
+# Pure-pandas kernel (shared by the Spark UDF, tests and the oracle
+# simulator's vectorized mode) — everything is Series-level string ops.
+# --------------------------------------------------------------------------
+def canonicalize_series(base: pd.Series, href: pd.Series) -> pd.Series:
+    href = href.astype("string")
+    base = base.astype("string")
+    out = pd.Series(pd.NA, index=href.index, dtype="string")
+
+    valid = href.notna() & (href.str.len() > 0)
+    valid &= ~href.str.startswith("javascript:", na=False)
+    valid &= ~href.str.startswith("mailto:", na=False)
+    if not valid.any():
+        return out
+
+    h = href.where(valid)
+    # fragment strip happens before the absolute check (extract_hrefs.c:36-39)
+    h = h.str.split("#", n=1).str[0]
+    # after fragment strip an empty string means the href was only a fragment;
+    # the reference would then resolve "" against base via xmlBuildURI, which
+    # yields the base URL itself.
+    absolute = h.str.startswith("http://", na=False) | h.str.startswith(
+        "https://", na=False
+    )
+
+    # absolute: returned as-is (trailing slash kept — reference quirk)
+    out[absolute.fillna(False)] = h[absolute.fillna(False)]
+
+    rel = valid & ~absolute.fillna(False)
+    if rel.any():
+        b = base.where(rel).str.split("#", n=1).str[0]
+        # base components: scheme, root (scheme://authority), dir (up to last /)
+        scheme = b.str.extract(r"^([a-zA-Z][a-zA-Z0-9+.-]*):", expand=False)
+        root = b.str.extract(r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", expand=False)
+        path = b.str.replace(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", "", regex=True)
+        path = path.str.split("?", n=1).str[0]
+        # directory of the base path (RFC 3986 §5.3 merge)
+        basedir = path.str.replace(r"[^/]*$", "", regex=True)
+        basedir = basedir.where(basedir.str.len() > 0, "/")
+
+        hr = h.where(rel)
+        resolved = pd.Series(pd.NA, index=href.index, dtype="string")
+
+        proto_rel = hr.str.startswith("//", na=False)
+        resolved[proto_rel] = scheme[proto_rel] + ":" + hr[proto_rel]
+
+        abs_path = hr.str.startswith("/", na=False) & ~proto_rel
+        resolved[abs_path] = root[abs_path] + hr[abs_path]
+
+        query_only = hr.str.startswith("?", na=False)
+        resolved[query_only] = root[query_only] + path[query_only] + hr[query_only]
+
+        empty = (hr.str.len() == 0).fillna(False)
+        resolved[empty] = b[empty]
+
+        relpath = rel & ~proto_rel & ~abs_path & ~query_only & ~empty
+        resolved[relpath] = root[relpath] + basedir[relpath] + hr[relpath]
+
+        # dot-segment removal (RFC 3986 §5.2.4), applied to the path part only;
+        # bounded vectorized fixpoint — depth of ../ chains is tiny in practice
+        for _ in range(16):
+            before = resolved
+            resolved = resolved.str.replace(r"(://[^/]*(?:/[^/]*)*?)/\.(?=/|$)", r"\1", regex=True)
+            resolved = resolved.str.replace(
+                r"(://[^/]*(?:/[^/]*)*?)/(?!\.\.(?:/|$))[^/]+/\.\.(?=/|$)", r"\1", regex=True
+            )
+            if resolved.equals(before):
+                break
+
+        # strip ONE trailing slash when len > 1 (extract_hrefs.c:68-71)
+        strip = resolved.str.endswith("/", na=False) & (resolved.str.len() > 1)
+        resolved[strip] = resolved[strip].str[:-1]
+        out[rel] = resolved[rel]
+
+    return out
+
+
+@F.pandas_udf(T.StringType())
+def canonicalize_udf(base: pd.Series, href: pd.Series) -> pd.Series:
+    return canonicalize_series(base, href).astype(object).where(lambda s: s.notna(), None)
+
+
+def canonicalize(base: Column, href: Column) -> Column:
+    """url_canon column; null for dropped (javascript:/mailto:/empty) hrefs."""
+    return canonicalize_udf(base, href)
+
+
+# --------------------------------------------------------------------------
+# Native (JVM, codegen'd) column expressions — no Python in the hot path.
+# --------------------------------------------------------------------------
+def host_expr(url: Column) -> Column:
+    """extract_domain: between '://' and next '/', port+case preserved."""
+    h = F.regexp_extract(url, r"://([^/]*)", 1)
+    return F.when(url.contains("://"), h).otherwise(F.lit(None).cast("string"))
+
+
+def sha1_expr(url_canon: Column) -> Column:
+    """URL key per north rule: SHA1 hex of the canonical URL (JVM builtin)."""
+    return F.sha1(url_canon)
+
+
+def shard_expr(url_sha1: Column, num_shards: int) -> Column:
+    """Deterministic shard id for the seen set: first 8 hex chars of sha1.
+
+    Uses conv(hex→dec) so shard assignment is reproducible anywhere
+    (not tied to Spark's hash seed), which the resume contract needs.
+    """
+    return F.pmod(F.conv(F.substring(url_sha1, 1, 8), 16, 10).cast("long"), F.lit(num_shards)).cast("int")
+
+
+def split_base_path_exprs(url: Column) -> tuple[Column, Column]:
+    """split_url: base = up to first '/' at index>=8; path defaults to '/'."""
+    head = F.substring(url, 1, 8)
+    tail = F.substring(url, 9, 1_000_000)
+    slash_in_tail = F.instr(tail, "/")
+    base = F.when(slash_in_tail > 0, F.concat(head, F.substring(tail, 1, slash_in_tail - 1))).otherwise(url)
+    path = F.when(slash_in_tail > 0, F.substring(tail, slash_in_tail, 1_000_000)).otherwise(F.lit("/"))
+    return base, path
+
+
+def normalize_path_expr(path: Column) -> Column:
+    """robots normalize_path: cut at first ?/#, strip trailing slashes,
+    null when the normalized form would be >= 2048 chars (callers must
+    treat null as 'allow by default', mirroring CHECK_NULL → return 1)."""
+    p = F.regexp_replace(path, r"[?#].*$", "")
+    p = F.regexp_replace(p, r"/+$", "")
+    return F.when(F.length(p) < MAX_RULE_LENGTH, p).otherwise(F.lit(None).cast("string"))
+
+
+def with_url_identity(df, url_col: str = "url", num_shards: int = 32):
+    """Attach url_canon/url_sha1/host/shard identity columns.
+
+    For URLs that are already canonical (engine-internal paths), url_canon
+    is the url itself; discovered hrefs must be canonicalized first.
+    """
+    return (
+        df.withColumn("url_sha1", sha1_expr(F.col(url_col)))
+        .withColumn("host", host_expr(F.col(url_col)))
+        .withColumn("shard", shard_expr(F.col("url_sha1"), num_shards))
+    )
