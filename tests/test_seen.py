@@ -1,0 +1,88 @@
+"""Seen-set operator: exactness, sketch acceleration, deletes, append.
+
+The gate: filter_unseen WITH sketches must equal the pure anti-join
+answer on every input (bloom false positives get verified; bloom misses
+are proofs). Mirrors is_visited/mark_visited_bulk (redis_helper.c:210-262).
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from web_scraper_spark.functions.urlops import shard_expr, with_url_identity
+from web_scraper_spark.operators import seen as seen_ops
+
+NUM_SHARDS = 8
+
+
+@pytest.fixture(scope="module")
+def urls(spark):
+    df = spark.createDataFrame(
+        [(f"http://h{i % 5}.test/p/{i}",) for i in range(400)], ["url"]
+    )
+    return with_url_identity(df, num_shards=NUM_SHARDS).cache()
+
+
+def test_append_and_exact_membership(spark, urls):
+    first = urls.filter(F.col("url").rlike("/p/[0-9]$"))  # 10 urls
+    seen = seen_ops.append_seen(None, first.select("url_sha1", "shard"), NUM_SHARDS)
+    m = seen_ops.membership(urls, seen, NUM_SHARDS).filter("is_seen").count()
+    assert m == first.count()
+
+
+def test_filter_unseen_matches_pure_antijoin(spark, urls):
+    half = urls.filter("pmod(crc32(url), 2) = 0")
+    seen = seen_ops.append_seen(None, half.select("url_sha1", "shard"), NUM_SHARDS)
+    sketches = seen_ops.collect_sketches(
+        seen_ops.build_sketches(seen, capacity=1024)
+    )
+    assert set(sketches) == {r["shard"] for r in seen.select("shard").distinct().collect()}
+
+    got = {
+        r["url"] for r in seen_ops.filter_unseen(urls, seen, sketches).collect()
+    }
+    want = {
+        r["url"] for r in urls.join(seen.select("url_sha1"), "url_sha1", "left_anti").collect()
+    }
+    assert got == want
+    assert len(got) == 400 - half.count()
+
+
+def test_incremental_sketch_update_equals_rebuild(spark, urls):
+    a = urls.filter("pmod(crc32(url), 3) = 0")
+    b = urls.filter("pmod(crc32(url), 3) = 1")
+    seen_a = seen_ops.append_seen(None, a.select("url_sha1", "shard"), NUM_SHARDS)
+    sk_a = seen_ops.collect_sketches(seen_ops.build_sketches(seen_a, capacity=1024))
+    sk_ab = seen_ops.collect_sketches(
+        seen_ops.update_sketches(spark, sk_a, b.select("url_sha1", "shard"), NUM_SHARDS, capacity=1024)
+    )
+    seen_ab = seen_ops.append_seen(seen_a, b.select("url_sha1", "shard"), NUM_SHARDS)
+    # the incremental sketches must still answer dedup exactly
+    got = {r["url"] for r in seen_ops.filter_unseen(urls, seen_ab, sk_ab).collect()}
+    want = {
+        r["url"]
+        for r in urls.join(seen_ab.select("url_sha1"), "url_sha1", "left_anti").collect()
+    }
+    assert got == want
+
+
+def test_delete_supports_force_rescrape(spark, urls):
+    sub = urls.limit(50)
+    seen = seen_ops.append_seen(None, sub.select("url_sha1", "shard"), NUM_SHARDS)
+    sk = seen_ops.collect_sketches(seen_ops.build_sketches(seen, capacity=1024))
+    victim = sub.limit(10)
+    seen2 = seen_ops.delete_seen(seen, victim)
+    sk2 = seen_ops.collect_sketches(
+        seen_ops.update_sketches(
+            spark,
+            sk,
+            spark.createDataFrame([], "url_sha1 string, shard int"),
+            NUM_SHARDS,
+            capacity=1024,
+            deletes=victim.select("url_sha1", "shard"),
+        )
+    )
+    # deleted urls must come back as unseen (exactness preserved)
+    got = {r["url"] for r in seen_ops.filter_unseen(urls, seen2, sk2).collect()}
+    assert {r["url"] for r in victim.collect()} <= got
+    assert len(got) == 400 - 40

@@ -1,0 +1,112 @@
+"""URL canonicalization / host / path semantics vs the reference quirks.
+
+Reference behaviors tested (clean-room, SURVEY.md §2.2 P1-P4):
+- normalize_url (extract_hrefs.c:25-74): javascript:/mailto: dropped,
+  fragment stripped BEFORE the absolute check, absolute URLs returned
+  verbatim (trailing slash kept), relative resolution + ONE trailing
+  slash stripped.
+- extract_domain (robots_parser.c:41-60): between :// and next /, port
+  and case preserved.
+- split_url (scraper.c:61-73): first / at index >= 8.
+- normalize_path (robots_parser.c:66-105): cut at ?/#, strip trailing /s.
+"""
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from web_scraper_spark.functions.urlops import (
+    canonicalize_series,
+    host_expr,
+    normalize_path_expr,
+    shard_expr,
+    split_base_path_exprs,
+)
+
+B = "http://h1.example.test/a/b/page.html"
+
+
+def canon(base, href):
+    return canonicalize_series(pd.Series([base]), pd.Series([href])).iloc[0]
+
+
+class TestCanonicalize:
+    def test_junk_schemes_dropped(self):
+        assert pd.isna(canon(B, "javascript:void(0)"))
+        assert pd.isna(canon(B, "mailto:x@y.z"))
+        assert pd.isna(canon(B, None))
+        assert pd.isna(canon(B, ""))
+
+    def test_fragment_only_resolves_to_base(self):
+        assert canon(B, "#top") == B
+
+    def test_absolute_kept_verbatim_including_trailing_slash(self):
+        # reference quirk: the absolute branch strdup's without slash strip
+        assert canon(B, "http://x.test/p/") == "http://x.test/p/"
+        assert canon(B, "https://x.test/p#frag") == "https://x.test/p"
+
+    def test_absolute_path_relative(self):
+        assert canon(B, "/p/3") == "http://h1.example.test/p/3"
+        assert canon(B, "/p/3/") == "http://h1.example.test/p/3"  # slash stripped
+
+    def test_document_relative(self):
+        assert canon(B, "c.html") == "http://h1.example.test/a/b/c.html"
+        assert canon(B, "../up.html") == "http://h1.example.test/a/up.html"
+        assert canon(B, "./here.html") == "http://h1.example.test/a/b/here.html"
+
+    def test_protocol_relative(self):
+        assert canon(B, "//other.test/q") == "http://other.test/q"
+
+    def test_query_only(self):
+        assert canon(B, "?x=1") == "http://h1.example.test/a/b/page.html?x=1"
+
+    def test_idempotent_on_absolute(self):
+        u = canon(B, "/p/3")
+        assert canon(B, u) == u
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.text(alphabet="abc/._-", min_size=0, max_size=20))
+    def test_canon_never_raises_and_idempotent(self, href):
+        out = canon(B, href)
+        if not pd.isna(out) and out.startswith("http"):
+            assert canon(B, out) == out
+
+
+class TestNativeExprs:
+    @pytest.fixture(scope="class")
+    def df(self, spark):
+        rows = [
+            ("http://H1.test:8080/a/b?q=1#f",),
+            ("https://h2.test/",),
+            ("http://h3.test",),
+            ("nohost",),
+        ]
+        return spark.createDataFrame(rows, ["url"])
+
+    def test_host(self, spark, df):
+        out = [r[0] for r in df.select(host_expr(F.col("url"))).collect()]
+        # port + case preserved (extract_domain keeps bytes verbatim)
+        assert out == ["H1.test:8080", "h2.test", "h3.test", None]
+
+    def test_split_base_path(self, spark, df):
+        b, p = split_base_path_exprs(F.col("url"))
+        out = df.select(b.alias("b"), p.alias("p")).collect()
+        assert (out[0]["b"], out[0]["p"]) == ("http://H1.test:8080", "/a/b?q=1#f")
+        assert (out[1]["b"], out[1]["p"]) == ("https://h2.test", "/")
+        assert (out[2]["b"], out[2]["p"]) == ("http://h3.test", "/")
+
+    def test_normalize_path(self, spark):
+        df = spark.createDataFrame(
+            [("/a/b?q=1",), ("/a/b#f",), ("/a/b///",), ("/" * 3000,)], ["p"]
+        )
+        out = [r[0] for r in df.select(normalize_path_expr(F.col("p"))).collect()]
+        assert out == ["/a/b", "/a/b", "/a/b", ""]  # trailing slashes all stripped
+
+    def test_shard_stable_and_in_range(self, spark):
+        df = spark.createDataFrame([(f"u{i}",) for i in range(200)], ["u"])
+        out = df.select(
+            shard_expr(F.sha1(F.col("u")), 32).alias("s")
+        ).agg(F.min("s"), F.max("s"), F.countDistinct("s")).collect()[0]
+        assert out[0] >= 0 and out[1] < 32 and out[2] > 16  # well spread

@@ -1,0 +1,171 @@
+"""Iceberg-style snapshot catalog: partitioned Parquet + JSON manifests.
+
+The reference keeps all crawl state in Redis/Postgres and resumes by
+re-checking the `visited_urls` set (url_processor.c:44-84). Our engine keeps
+state in versioned table snapshots so a killed run resumes *byte-identically*
+(north rule): each generation ends in ONE atomic commit that advances every
+table together.
+
+Design (no Iceberg runtime jar in the sandbox — see SURVEY.md §7.0):
+
+- each table version is an immutable directory  ``<root>/<table>/v<NNNN>/``
+  of Parquet files written by Spark;
+- a snapshot manifest ``<root>/_manifests/s<NNNN>.json`` records, per table:
+  the version directory, per-partition-file row counts + byte sizes
+  (**per-partition lineage**), plus generation metrics (urls_processed,
+  urls_skipped, urls_disallowed, bytes_downloaded — names per the
+  reference's ScraperStats, stats.h:8-15);
+- ``<root>/_manifests/CURRENT`` names the live snapshot; the commit is a
+  tmp-file ``os.replace`` — atomic on POSIX, the MULTI/EXEC analog of the
+  reference's bulk SADD (redis_helper.c:235-253);
+- uncommitted version dirs from a crashed run are invisible (nothing points
+  at them) and are swept lazily.
+
+On a real cluster the same protocol works on any filesystem with atomic
+rename (HDFS); a thin seam (`TableFormat`) would swap in real Iceberg —
+all engine code goes through `Catalog.read/stage/commit` only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    generation: int
+    t0: float                       # virtual clock at generation start
+    tables: dict[str, dict]         # name -> {version, files:[{path,rows,bytes}]}
+    metrics: dict[str, Any] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "snapshot_id": self.snapshot_id,
+                "parent_id": self.parent_id,
+                "generation": self.generation,
+                "t0": self.t0,
+                "tables": self.tables,
+                "metrics": self.metrics,
+            },
+            indent=1,
+            sort_keys=True,
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Snapshot":
+        d = json.loads(s)
+        return Snapshot(
+            snapshot_id=d["snapshot_id"],
+            parent_id=d["parent_id"],
+            generation=d["generation"],
+            t0=d["t0"],
+            tables=d["tables"],
+            metrics=d.get("metrics", {}),
+        )
+
+
+class Catalog:
+    """Snapshot-isolated table store rooted at a directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._manifest_dir = os.path.join(root, "_manifests")
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        self._staged: dict[str, dict] = {}
+
+    # ------------------------------------------------------------- snapshots
+    def current_snapshot(self) -> Snapshot | None:
+        cur = os.path.join(self._manifest_dir, "CURRENT")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            name = f.read().strip()
+        with open(os.path.join(self._manifest_dir, name)) as f:
+            return Snapshot.from_json(f.read())
+
+    def snapshot(self, snapshot_id: int) -> Snapshot:
+        """Time-travel read of any committed snapshot."""
+        with open(os.path.join(self._manifest_dir, f"s{snapshot_id:06d}.json")) as f:
+            return Snapshot.from_json(f.read())
+
+    # ------------------------------------------------------------- read
+    def read(self, table: str, snapshot: Snapshot | None = None) -> DataFrame | None:
+        snap = snapshot or self.current_snapshot()
+        if snap is None or table not in snap.tables:
+            return None
+        entry = snap.tables[table]
+        path = os.path.join(self.root, table, entry["version"])
+        return self.spark.read.parquet(path)
+
+    # ------------------------------------------------------------- stage
+    def stage(self, table: str, df: DataFrame, partitions: int | None = None) -> dict:
+        """Write a new immutable version dir for `table`; visible only after
+        commit(). Returns the manifest entry (per-file lineage)."""
+        version = f"v{uuid.uuid4().hex[:12]}"
+        path = os.path.join(self.root, table, version)
+        writer = df if partitions is None else df.repartition(partitions)
+        writer.write.mode("error").parquet(path)
+        files = []
+        for fn in sorted(os.listdir(path)):
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(path, fn)
+            files.append({"path": fn, "bytes": os.path.getsize(fp)})
+        # per-file row counts from parquet footers (no data scan)
+        import pyarrow.parquet as pq
+
+        for f in files:
+            f["rows"] = pq.ParquetFile(os.path.join(path, f["path"])).metadata.num_rows
+        entry = {"version": version, "files": files, "rows": sum(f["rows"] for f in files)}
+        self._staged[table] = entry
+        return entry
+
+    def stage_keep(self, table: str, snapshot: Snapshot) -> None:
+        """Carry a table forward unchanged from `snapshot` (no rewrite)."""
+        if table in snapshot.tables:
+            self._staged[table] = snapshot.tables[table]
+
+    # ------------------------------------------------------------- commit
+    def commit(self, generation: int, t0: float, metrics: dict | None = None) -> Snapshot:
+        """Atomically publish all staged tables as the next snapshot."""
+        parent = self.current_snapshot()
+        sid = (parent.snapshot_id + 1) if parent else 0
+        snap = Snapshot(
+            snapshot_id=sid,
+            parent_id=parent.snapshot_id if parent else None,
+            generation=generation,
+            t0=t0,
+            tables=dict(self._staged),
+            metrics=metrics or {},
+        )
+        name = f"s{sid:06d}.json"
+        final = os.path.join(self._manifest_dir, name)
+        tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(snap.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final)
+
+        cur_final = os.path.join(self._manifest_dir, "CURRENT")
+        cur_tmp = cur_final + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(cur_tmp, "w") as f:
+            f.write(name)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(cur_tmp, cur_final)  # the atomic commit point
+        self._staged = {}
+        return snap
+
+    def abort(self) -> None:
+        self._staged = {}

@@ -1,0 +1,276 @@
+"""Partition-sharded URL-seen set: exact anti-join + bloom/cuckoo sketches.
+
+Reference semantics being reproduced (clean-room):
+- ``is_visited``        — SISMEMBER visited_urls (redis_helper.c:210-227)
+- ``mark_visited_bulk`` — MULTI/SADD/EXEC batch    (redis_helper.c:229-262)
+- seen-gating both before enqueue (extract_hrefs.c:139-143) and before
+  fetch (url_processor.c:46)
+
+Spark design (SURVEY.md §2.4 M1):
+- authoritative: ``seen(url_sha1, shard)`` table, sharded by a *stable*
+  function of the sha1 itself (urlops.shard_expr — not Spark's hash, so
+  shard assignment survives restarts / different clusters);
+- accelerator: one bloom + one cuckoo per shard (sketches.py), stored as
+  binary rows in the ``seen_sketch`` checkpoint table;
+- membership = bloom short-circuit for definite-negatives, exact
+  anti-join only for the "maybe" rows. At 10^10-URL scale the bloom
+  prefilter keeps the sort-merge anti-join probe side to the tiny
+  maybe-fraction (~fpp of genuinely-new URLs + true rehits); the sketch
+  rows themselves are ~1.2 MB/10^6 keys at 1% fpp, broadcast per
+  generation.
+- deletes (force_rescrape / cache_clear_url, cache.c:300-320) remove rows
+  from ``seen`` AND delete from the cuckoo (bloom can't delete; it simply
+  goes stale-conservative until the next rebuild, which only costs spurious
+  "maybe"s, never wrong answers).
+
+Correctness NEVER depends on a sketch: every "maybe" is verified by the
+exact join; a bloom miss is a proof of absence (no false negatives).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..functions.urlops import shard_expr
+from ..sketches import Bloom, Cuckoo
+
+DEFAULT_SHARD_CAPACITY = 1 << 17  # keys per shard before sketch rebuild
+
+
+# --------------------------------------------------------------------------
+# sketch table <-> python
+# --------------------------------------------------------------------------
+
+
+def collect_sketches(sketch_df: DataFrame | None) -> dict[int, tuple[bytes, bytes, int]]:
+    """Sketch table → {shard: (bloom_bytes, cuckoo_bytes, n)}. Small: one
+    row per shard (32 locally, ~4096 at cluster scale)."""
+    if sketch_df is None:
+        return {}
+    return {
+        r["shard"]: (bytes(r["bloom"]), bytes(r["cuckoo"]), r["n"])
+        for r in sketch_df.collect()
+    }
+
+
+def empty_sketch(capacity: int, fpp: float) -> tuple[bytes, bytes, int]:
+    return (
+        Bloom.for_capacity(capacity, fpp).to_bytes(),
+        Cuckoo.for_capacity(capacity).to_bytes(),
+        0,
+    )
+
+
+# --------------------------------------------------------------------------
+# membership / dedup
+# --------------------------------------------------------------------------
+
+
+def tag_maybe_seen(
+    candidates: DataFrame, sketches: dict[int, tuple[bytes, bytes, int]]
+) -> DataFrame:
+    """Add ``maybe_seen:boolean`` from the broadcast bloom sketches.
+
+    False ⇒ certainly NOT in the seen set (bloom has no false negatives);
+    True ⇒ must be verified by the exact anti-join. Missing shard sketch ⇒
+    conservative True only if the shard has data; empty catalog ⇒ False.
+    """
+    spark = candidates.sparkSession
+    if not sketches:
+        return candidates.withColumn("maybe_seen", F.lit(False))
+    bc = spark.sparkContext.broadcast({s: v[0] for s, v in sketches.items()})
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        blooms: dict[int, Bloom] = {}
+        for pdf in batches:
+            out = pd.Series(True, index=pdf.index)
+            for shard, grp in pdf.groupby("shard"):
+                raw = bc.value.get(int(shard))
+                if raw is None:
+                    out.loc[grp.index] = False  # shard never written → empty
+                    continue
+                b = blooms.setdefault(int(shard), Bloom.from_bytes(raw))
+                out.loc[grp.index] = b.contains_many(grp["url_sha1"].to_numpy())
+            pdf = pdf.copy()
+            pdf["maybe_seen"] = out
+            yield pdf
+
+    # build a fresh StructType — StructType.add would mutate the DataFrame's
+    # cached schema object and desync it from the JVM plan
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(candidates.schema.fields) + [T.StructField("maybe_seen", T.BooleanType(), False)]
+    )
+    return candidates.mapInPandas(probe, schema=out_schema)
+
+
+def filter_unseen(
+    candidates: DataFrame,
+    seen: DataFrame | None,
+    sketches: dict[int, tuple[bytes, bytes, int]] | None = None,
+) -> DataFrame:
+    """Rows of `candidates` whose url_sha1 is NOT in the seen set.
+
+    candidates must carry url_sha1 + shard columns. With sketches, the
+    expensive anti-join probes only the bloom-"maybe" slice; the
+    definite-negative slice bypasses the shuffle entirely.
+    """
+    if seen is None:
+        return candidates
+    if not sketches:
+        return candidates.join(seen.select("url_sha1"), "url_sha1", "left_anti")
+    tagged = tag_maybe_seen(candidates, sketches)
+    certain_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    verified_new = maybe.join(seen.select("url_sha1"), "url_sha1", "left_anti")
+    return certain_new.unionByName(verified_new)
+
+
+def membership(
+    urls: DataFrame,
+    seen: DataFrame | None,
+    num_shards: int,
+    url_col: str = "url_sha1",
+) -> DataFrame:
+    """Exact membership flags: (url_sha1, is_seen). The SISMEMBER analog
+    as a set operator (left-semi style via left join + null check)."""
+    if seen is None:
+        return urls.select(F.col(url_col).alias("url_sha1")).withColumn(
+            "is_seen", F.lit(False)
+        )
+    s = seen.select("url_sha1").withColumn("is_seen", F.lit(True))
+    return (
+        urls.select(F.col(url_col).alias("url_sha1"))
+        .join(s, "url_sha1", "left")
+        .withColumn("is_seen", F.coalesce("is_seen", F.lit(False)))
+    )
+
+
+# --------------------------------------------------------------------------
+# appends / deletes / sketch maintenance
+# --------------------------------------------------------------------------
+
+
+def append_seen(seen: DataFrame | None, new_keys: DataFrame, num_shards: int) -> DataFrame:
+    """mark_visited_bulk analog: seen ∪ new (new_keys: url_sha1 [,shard]).
+
+    The caller commits the result as one snapshot — the MULTI/EXEC atomicity
+    analog. new_keys are assumed pre-deduped against seen (filter_unseen)."""
+    cols = new_keys.columns
+    nk = new_keys
+    if "shard" not in cols:
+        nk = nk.withColumn("shard", shard_expr(F.col("url_sha1"), num_shards))
+    nk = nk.select("url_sha1", "shard").dropDuplicates(["url_sha1"])
+    if seen is None:
+        return nk
+    return seen.select("url_sha1", "shard").unionByName(nk)
+
+
+def delete_seen(seen: DataFrame | None, del_keys: DataFrame) -> DataFrame | None:
+    """cache_clear_url / force_rescrape analog: seen ∖ del (anti-join)."""
+    if seen is None:
+        return None
+    return seen.join(del_keys.select("url_sha1"), "url_sha1", "left_anti")
+
+
+def update_sketches(
+    spark: SparkSession,
+    sketches: dict[int, tuple[bytes, bytes, int]],
+    new_keys: DataFrame,
+    num_shards: int,
+    capacity: int = DEFAULT_SHARD_CAPACITY,
+    fpp: float = 0.01,
+    deletes: DataFrame | None = None,
+) -> DataFrame:
+    """Fold new (and deleted) keys into the per-shard sketches, distributed.
+
+    Runs as applyInPandas grouped by shard — each task updates ONE shard's
+    bloom+cuckoo, so the work parallelizes across shards exactly like the
+    seen table itself (key-parallel; this is what lets the structure scale
+    N→4N). Returns the full new sketch table (one row per touched-or-existing
+    shard).
+    """
+    bc = spark.sparkContext.broadcast(sketches)
+    cap, f = capacity, fpp
+
+    changes = new_keys.select("url_sha1", "shard").withColumn("op", F.lit(1))
+    if deletes is not None:
+        d = deletes.select("url_sha1")
+        if "shard" not in deletes.columns:
+            d = d.withColumn("shard", shard_expr(F.col("url_sha1"), num_shards))
+        else:
+            d = deletes.select("url_sha1", "shard")
+        changes = changes.unionByName(d.withColumn("op", F.lit(-1)))
+
+    def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        prev = bc.value.get(shard)
+        if prev is None:
+            bloom, cuckoo, n = Bloom.for_capacity(cap, f), Cuckoo.for_capacity(cap), 0
+        else:
+            bloom, cuckoo, n = Bloom.from_bytes(prev[0]), Cuckoo.from_bytes(prev[1]), prev[2]
+        adds = pdf.loc[pdf["op"] == 1, "url_sha1"].to_numpy()
+        dels = pdf.loc[pdf["op"] == -1, "url_sha1"].to_numpy()
+        if len(adds):
+            bloom.add_many(adds)
+            cuckoo.add_many(adds)
+            n += len(adds)
+        if len(dels):
+            cuckoo.delete_many(dels)
+            n -= len(dels)  # bloom goes stale-conservative (extra maybes only)
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "bloom": [bloom.to_bytes()],
+                "cuckoo": [cuckoo.to_bytes()],
+                "n": [max(n, 0)],
+            }
+        )
+
+    touched = changes.groupBy("shard").applyInPandas(fold, schema=schemas.SEEN_SKETCH)
+    untouched_shards = set(sketches)
+    if untouched_shards:
+        # carry forward shards with no changes this generation
+        untouched = spark.createDataFrame(
+            [
+                (s, v[0], v[1], v[2])
+                for s, v in sketches.items()
+            ],
+            schema=schemas.SEEN_SKETCH,
+        ).join(changes.select("shard").distinct(), "shard", "left_anti")
+        return touched.unionByName(untouched)
+    return touched
+
+
+def build_sketches(
+    seen: DataFrame,
+    capacity: int = DEFAULT_SHARD_CAPACITY,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Full rebuild of every shard's sketches from the authoritative table
+    (used on bootstrap and when a shard outgrows its bloom capacity)."""
+    cap, f = capacity, fpp
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        keys = pdf["url_sha1"].to_numpy()
+        bloom = Bloom.for_capacity(max(cap, 2 * len(keys)), f)
+        cuckoo = Cuckoo.for_capacity(max(cap, 2 * len(keys)))
+        bloom.add_many(keys)
+        cuckoo.add_many(keys)
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "bloom": [bloom.to_bytes()],
+                "cuckoo": [cuckoo.to_bytes()],
+                "n": [len(keys)],
+            }
+        )
+
+    return seen.groupBy("shard").applyInPandas(build, schema=schemas.SEEN_SKETCH)
