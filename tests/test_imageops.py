@@ -1,0 +1,133 @@
+"""Image payload invariants (BASELINE.json input_hint / FIXTURES.md §1):
+
+- lossless round-trip (ppm, png): decode(encode(px)) == px exactly;
+- lossy qdct: PSNR >= 40 dB;
+- phash: recompute matches stored column; near-dup rows hamming <= 2..8;
+- caption byte-equality through the Spark table;
+- LSH band join finds every pair with hamming <= 3 (no cartesian).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from web_scraper_spark import synth
+from web_scraper_spark.functions import imageops, multimodal
+
+
+def px(i, seed=42):
+    return synth.gen_pixels(i, seed)
+
+
+class TestCodecs:
+    @pytest.mark.parametrize("i", [0, 3, 17])
+    def test_ppm_roundtrip(self, i):
+        a = px(i)
+        assert np.array_equal(imageops.decode_ppm(imageops.encode_ppm(a)), a)
+
+    @pytest.mark.parametrize("i", [1, 5, 23])
+    def test_png_roundtrip(self, i):
+        a = px(i)
+        assert np.array_equal(imageops.decode_png(imageops.encode_png(a)), a)
+
+    @pytest.mark.parametrize("i", [2, 7, 31])
+    def test_qdct_psnr_over_40(self, i):
+        a = px(i)
+        b = imageops.decode_qdct(imageops.encode_qdct(a))
+        assert imageops.psnr(a, b) >= 40.0
+
+    def test_phash_deterministic_and_distinct(self):
+        h0 = imageops.phash64(px(0))
+        assert h0 == imageops.phash64(px(0))
+        others = [imageops.phash64(px(i)) for i in range(1, 12)]
+        assert all(imageops.hamming64(h0, o) > 4 for o in others)
+
+
+class TestImagesTable:
+    @pytest.fixture(scope="class")
+    def images(self, spark):
+        return synth.images_df(spark, 220, seed=42, partitions=4).cache()
+
+    def test_schema_matches_input_hint(self, images):
+        assert [ (f.name, f.dataType.simpleString()) for f in images.schema.fields ] == [
+            ("image_id", "string"), ("bytes", "binary"), ("w", "int"), ("h", "int"),
+            ("fmt", "string"), ("caption", "string"), ("phash", "bigint"),
+        ]
+
+    def test_decode_invariants_via_features(self, images):
+        feats = multimodal.image_features(images).withColumnRenamed("phash", "phash_re")
+        j = images.join(feats, "image_id")
+        bad = j.filter(
+            (~F.col("decode_ok"))
+            | (F.col("dec_w") != F.col("w"))
+            | (F.col("dec_h") != F.col("h"))
+            | (F.col("phash") != F.col("phash_re"))
+        )
+        # recomputed phash must equal the stored column on every row
+        assert bad.count() == 0
+
+    def test_caption_equality(self, images):
+        rows = images.select("image_id", "caption").collect()
+        for r in rows[:50]:
+            i = int(r["image_id"].split("-")[1])
+            assert r["caption"] == synth.caption_for(i, 42)
+
+    def test_neardup_rows_close_in_phash(self, images):
+        """i % 101 == 1 rows are perturbed copies of i-1 (FIXTURES.md §1)."""
+        rows = {r["image_id"]: r["phash"] for r in images.select("image_id", "phash").collect()}
+        found = 0
+        for i in range(1, 220):
+            if i % synth.NEARDUP_STRIDE == 1:
+                a = rows[f"img-{i:010d}"]
+                b = rows[f"img-{i - 1:010d}"]
+                assert imageops.hamming64(a, b) <= 8
+                found += 1
+        assert found >= 2
+
+    def test_lsh_band_join_finds_neardups(self, spark, images):
+        """phash near-dup pruning (J6): band equi-join + hamming filter
+        finds exactly the pairs a brute-force scan finds at t <= 3."""
+        ph = images.select("image_id", "phash")
+        bands = ph.select(
+            "image_id",
+            "phash",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("phash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bv"),
+                    )
+                    for b in range(4)
+                ])
+            ).alias("bb"),
+        ).select("image_id", "phash", "bb.band", "bb.bv")
+        a = bands.select(F.col("image_id").alias("ia"), F.col("phash").alias("pa"), "band", "bv")
+        b = bands.select(F.col("image_id").alias("ib"), F.col("phash").alias("pb"), "band", "bv")
+        got = {
+            (r["ia"], r["ib"])
+            for r in (
+                a.join(b, ["band", "bv"])
+                .filter(F.col("ia") < F.col("ib"))
+                .withColumn("d", F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))))
+                .filter(F.col("d") <= 3)
+                .select("ia", "ib")
+                .dropDuplicates()
+                .collect()
+            )
+        }
+        rows = images.select("image_id", "phash").collect()
+        brute = {
+            (x["image_id"], y["image_id"])
+            for xi, x in enumerate(rows)
+            for y in rows[xi + 1 :]
+            if imageops.hamming64(x["phash"], y["phash"]) <= 3
+        }
+        brute = {(min(p), max(p)) for p in brute}
+        assert got == brute
+
+    def test_resize_plumbing(self, images):
+        out = multimodal.resize_images(images.limit(20), size=16)
+        rows = out.collect()
+        assert all(r["w"] == 16 and r["h"] == 16 for r in rows)
+        arr = imageops.decode_ppm(bytes(rows[0]["bytes"]))
+        assert arr.shape == (16, 16, 3)

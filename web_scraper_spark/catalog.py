@@ -104,29 +104,58 @@ class Catalog:
         if snap is None or table not in snap.tables:
             return None
         entry = snap.tables[table]
-        path = os.path.join(self.root, table, entry["version"])
-        return self.spark.read.parquet(path)
+        paths = [os.path.join(self.root, table, f["path"]) for f in entry["files"]]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
 
     # ------------------------------------------------------------- stage
-    def stage(self, table: str, df: DataFrame, partitions: int | None = None) -> dict:
-        """Write a new immutable version dir for `table`; visible only after
-        commit(). Returns the manifest entry (per-file lineage)."""
+    def _write_version(self, table: str, df: DataFrame, partitions: int | None) -> list[dict]:
+        """Write one immutable version dir; return its file-lineage list
+        (paths are relative to the table root)."""
         version = f"v{uuid.uuid4().hex[:12]}"
         path = os.path.join(self.root, table, version)
         writer = df if partitions is None else df.repartition(partitions)
         writer.write.mode("error").parquet(path)
+        import pyarrow.parquet as pq
+
         files = []
         for fn in sorted(os.listdir(path)):
             if not fn.endswith(".parquet"):
                 continue
             fp = os.path.join(path, fn)
-            files.append({"path": fn, "bytes": os.path.getsize(fp)})
-        # per-file row counts from parquet footers (no data scan)
-        import pyarrow.parquet as pq
+            meta = pq.ParquetFile(fp).metadata
+            if meta.num_rows == 0:
+                continue  # drop empty part files from lineage
+            files.append(
+                {"path": f"{version}/{fn}", "bytes": os.path.getsize(fp), "rows": meta.num_rows}
+            )
+        return files
 
-        for f in files:
-            f["rows"] = pq.ParquetFile(os.path.join(path, f["path"])).metadata.num_rows
-        entry = {"version": version, "files": files, "rows": sum(f["rows"] for f in files)}
+    def stage(self, table: str, df: DataFrame, partitions: int | None = None) -> dict:
+        """Full overwrite: the next snapshot's `table` = exactly `df`.
+        Visible only after commit(). Returns the manifest entry."""
+        files = self._write_version(table, df, partitions)
+        entry = {"files": files, "rows": sum(f["rows"] for f in files)}
+        self._staged[table] = entry
+        return entry
+
+    def stage_append(
+        self,
+        table: str,
+        delta: DataFrame,
+        snapshot: Snapshot | None = None,
+        partitions: int | None = None,
+    ) -> dict:
+        """Append-only stage: write ONLY the delta files; the new manifest
+        entry = parent file list + delta file list. This is what keeps the
+        per-generation commit O(delta), not O(table) — at 10^10-URL scale the
+        seen table is never rewritten, exactly like Iceberg appends."""
+        snap = snapshot or self.current_snapshot()
+        parent_files = list(snap.tables[table]["files"]) if snap and table in snap.tables else []
+        new_files = self._write_version(table, delta, partitions)
+        files = parent_files + new_files
+        entry = {"files": files, "rows": sum(f["rows"] for f in files)}
         self._staged[table] = entry
         return entry
 

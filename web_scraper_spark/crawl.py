@@ -1,0 +1,397 @@
+"""The crawl engine: set-oriented generation loop with snapshot commits.
+
+One reference worker iteration (process_url_thread, url_processor.c:28-183)
+becomes one *generation* of DataFrame transforms over the whole batch
+(SURVEY.md §3.1). Per generation g over virtual clock window [t0, t0+H):
+
+1. pop-gate   candidates = frontier ⋉̸ seen        (is_visited, c:46-84;
+              the skipped rows leave the frontier and count urls_skipped)
+2. admit      politeness slots per host (scheduler.admit_batch — the
+              rate_limiter_wait + ZSET-pop-order analog)
+3. robots     fetch rules for admitted hosts not yet cached (T4), apply
+              Crawl-delay to host_state, decide allow/deny (P4-P6);
+              disallowed rows are dropped WITHOUT entering the seen set
+              (c:111-118 frees the task before mark_visited) but their
+              politeness slot stays consumed (the C waits before checking)
+4. fetch      mapInPandas batch fetch (S1) of allowed rows
+5. extract    title/meta/sentiment/links/images UDFs in one pass (P8-P13)
+6. push       new links: canonicalize (P1) → sha1 → seen-gate
+              (extract_hrefs.c:139-143: gated against seen EXCLUDING this
+              batch — the reference marks visited only AFTER extraction) →
+              ZADD-upsert dedup (min priority per url)
+7. mark       seen ∪= batch (mark_visited_bulk, c:167-169) — append-only
+8. fold       AIMD host-state update in slot order (T2) + sketch update
+9. commit     ONE atomic snapshot: frontier/seen/sketches/robots/
+              host_state/pages/links/images + per-partition lineage +
+              metrics (urls_processed, urls_skipped, urls_disallowed,
+              bytes_downloaded — stats.h:8-15). Kill the process anywhere:
+              resume() restarts from the last committed generation with
+              byte-identical results (tested).
+
+Ordering contract (SURVEY.md §3.4): `oracle=True` runs batch-of-1
+generations with an unbounded horizon — the admitted row is always the
+global (priority asc, url_canon asc) minimum, i.e. exactly the reference's
+ZSET pop sequence; `crawl_rank` then reproduces the C crawl order
+one-to-one. Batched mode keeps the same per-generation sort as the
+concatenation order.
+
+Scale shape per generation: one shuffle by host (admission window), one
+shuffle by url_sha1 (dedup/anti-join), Arrow-vectorized Python stages only;
+seen/pages/links appends are O(delta) via Catalog.stage_append.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import schemas
+from .catalog import Catalog, Snapshot
+from .config import ROBOTS_TTL_SECONDS, CrawlConfig
+from .functions import textops
+from .functions.urlops import (
+    canonicalize,
+    host_expr,
+    normalize_path_expr,
+    sha1_expr,
+    shard_expr,
+    split_base_path_exprs,
+)
+from .operators import robots as robots_ops
+from .operators import scheduler as sched
+from .operators import seen as seen_ops
+from .sources import fetch as fetch_src
+from .synth import SynthWebConfig
+
+
+@dataclass
+class GenerationResult:
+    generation: int
+    fetched: int
+    skipped: int
+    disallowed: int
+    frontier_size: int
+    done: bool
+
+
+def _with_identity(df: DataFrame, num_shards: int) -> DataFrame:
+    return (
+        df.withColumn("url_sha1", sha1_expr(F.col("url_canon")))
+        .withColumn("host", host_expr(F.col("url_canon")))
+        .withColumn("shard", shard_expr(F.col("url_sha1"), num_shards))
+    )
+
+
+def init_crawl(
+    spark: SparkSession,
+    catalog_root: str,
+    seeds: DataFrame,
+    cfg: CrawlConfig,
+) -> Catalog:
+    """Bootstrap snapshot 0: seeds → frontier (enqueue-seed analog,
+    main.c:290-310), empty seen/robots/host_state."""
+    cat = Catalog(spark, catalog_root)
+    frontier = (
+        seeds.select(
+            F.col("url"),
+            canonicalize(F.lit("http://seed.invalid/"), F.col("url")).alias("url_canon"),
+            F.col("priority").cast("int").alias("priority"),
+        )
+        .filter(F.col("url_canon").isNotNull())
+        .withColumn("depth", F.lit(0))
+        .withColumn("parent_url", F.lit(None).cast("string"))
+        .withColumn("discovered_at", F.lit(0).cast("long"))
+    )
+    frontier = _with_identity(frontier, cfg.num_shards).select(
+        "url", "url_canon", "url_sha1", "host", "shard",
+        "priority", "depth", "parent_url", "discovered_at",
+    )
+    # ZADD upsert on the seed list itself (duplicate seeds keep min priority)
+    frontier = (
+        frontier.groupBy("url_canon")
+        .agg(
+            F.min("priority").alias("priority"),
+            F.min("url").alias("url"),
+            F.min("url_sha1").alias("url_sha1"),
+            F.min("host").alias("host"),
+            F.min("shard").alias("shard"),
+            F.min("depth").alias("depth"),
+            F.min("parent_url").alias("parent_url"),
+            F.min("discovered_at").alias("discovered_at"),
+        )
+        .select(
+            "url", "url_canon", "url_sha1", "host", "shard",
+            "priority", "depth", "parent_url", "discovered_at",
+        )
+    )
+    cat.stage("frontier", frontier)
+    cat.commit(generation=0, t0=0.0, metrics={
+        "urls_processed": 0, "urls_skipped": 0, "urls_disallowed": 0,
+        "bytes_downloaded": 0, "crawl_rank_next": 0,
+    })
+    return cat
+
+def run_generation(
+    cat: Catalog,
+    cfg: CrawlConfig,
+    web: SynthWebConfig,
+) -> GenerationResult:
+    """Advance the crawl by one generation; commits exactly one snapshot."""
+    spark = cat.spark
+    snap = cat.current_snapshot()
+    assert snap is not None, "init_crawl first"
+    g = snap.generation
+    t0 = snap.t0
+    total_processed = int(snap.metrics.get("urls_processed", 0))
+    rank_next = int(snap.metrics.get("crawl_rank_next", 0))
+
+    frontier = cat.read("frontier")
+    if frontier is None or not frontier.head(1):
+        return GenerationResult(g, 0, 0, 0, 0, True)
+    seen = cat.read("seen")
+    sketch_df = cat.read("seen_sketch")
+    robots = cat.read("robots")
+    host_state = cat.read("host_state") or sched.default_host_state(spark)
+    sketches = seen_ops.collect_sketches(sketch_df)
+
+    frontier = frontier.cache()
+
+    # -------- 1. pop-gate: drop frontier rows already seen (urls_skipped)
+    candidates = seen_ops.filter_unseen(frontier, seen, sketches).cache()
+    n_frontier = frontier.count()
+    n_candidates = candidates.count()
+    n_skipped = n_frontier - n_candidates
+    if n_candidates == 0 or (cfg.max_pages and total_processed >= cfg.max_pages):
+        cat.stage("frontier", candidates.limit(0))
+        for t in ("seen", "seen_sketch", "robots", "host_state", "pages", "links", "page_images"):
+            cat.stage_keep(t, snap)
+        m = dict(snap.metrics)
+        m["urls_skipped"] = m.get("urls_skipped", 0) + n_skipped
+        cat.commit(generation=g + 1, t0=t0, metrics=m)
+        return GenerationResult(g, 0, n_skipped, 0, 0, True)
+
+    # -------- 2. politeness admission
+    budget_left = (cfg.max_pages - total_processed) if cfg.max_pages else None
+    if cfg.oracle_mode:
+        batch = sched.admit_batch(
+            candidates, host_state, t0, horizon=math.inf,
+            hot_threshold=cfg.hot_host_threshold, salt=cfg.hot_host_salt,
+            max_batch=1,
+        )
+    else:
+        batch = sched.admit_batch(
+            candidates, host_state, t0, horizon=cfg.horizon,
+            hot_threshold=cfg.hot_host_threshold, salt=cfg.hot_host_salt,
+            max_batch=budget_left,
+        )
+    batch = batch.cache()
+
+    # -------- 3. robots refresh + decision
+    now = int(t0)
+    need = robots_ops.hosts_needing_robots(batch, robots, now, ROBOTS_TTL_SECONDS)
+    fetched_bodies = fetch_src.fetch_robots(need, web)
+    new_rules = robots_ops.rules_from_corpus(fetched_bodies, fetched_at=now)
+    robots_all = new_rules if robots is None else robots.unionByName(new_rules)
+    robots_all = robots_all.cache()
+
+    host_state = sched.ensure_hosts(host_state, batch)
+    host_state = sched.apply_crawl_delays(host_state, robots_all)
+
+    _, path_col = split_base_path_exprs(F.col("url_canon"))
+    with_path = batch.withColumn("norm_path", normalize_path_expr(path_col))
+    decided = robots_ops.decide_allowed(with_path, robots_all).cache()
+    allowed = decided.filter(F.col("allowed")).drop("allowed", "norm_path")
+    disallowed = decided.filter(~F.col("allowed")).drop("allowed", "norm_path")
+    n_disallowed = disallowed.count()
+
+    # -------- 4 + 5. fetch + extract (one Arrow pipeline)
+    fetched = fetch_src.fetch_pages(allowed, web).cache()
+    n_fetched = fetched.count()
+
+    analyzed = (
+        fetched.withColumn("title", textops.title_udf(F.col("content")))
+        .withColumn("description", textops.description_udf(F.col("content")))
+        .withColumn("keywords", textops.keywords_udf(F.col("content")))
+        .withColumn("sentiment", textops.sentiment_udf(F.col("content")))
+        .withColumn("language", F.lit("en"))  # analyze_content placeholder (content_analyzer.c:289)
+        .withColumn("links", textops.links_udf(F.col("content")))
+        .withColumn("images", textops.images_udf(F.col("content")))
+        .cache()
+    )
+
+    # crawl_rank: per-generation (priority, url_canon) order, globally cumulative
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("priority").asc(), F.col("url_canon").asc())
+    pages_new = analyzed.withColumn(
+        "crawl_rank", F.row_number().over(w) + F.lit(rank_next) - 1
+    ).select(
+        F.col("url_canon").alias("url"),
+        "url_sha1",
+        "host",
+        "content",
+        "content_type",
+        "status",
+        F.length("content").cast("long").alias("content_size"),
+        "response_ms",
+        F.lit(g).cast("long").alias("fetched_at"),
+        F.col("fetch_time"),
+        "crawl_rank",
+        "depth",
+        "title",
+        "description",
+        "keywords",
+        "sentiment",
+        "language",
+        F.split(F.coalesce(F.col("keywords"), F.lit("")), ",").alias("topics"),
+    )
+
+    # -------- 6. discovered links → canonicalize → gate → upsert
+    exploded = analyzed.select(
+        F.col("url_canon").alias("parent_url"),
+        F.col("depth").alias("parent_depth"),
+        F.explode_outer("links").alias("href"),
+    )
+    links_new = (
+        exploded.withColumn("to_url", canonicalize(F.col("parent_url"), F.col("href")))
+        .filter(F.col("to_url").isNotNull())
+        .select(F.col("parent_url").alias("from_url"), "to_url", "parent_depth")
+    ).cache()
+
+    new_frontier_rows = (
+        links_new.filter(F.col("parent_depth") < cfg.max_depth)
+        .select(
+            F.col("to_url").alias("url"),
+            F.col("to_url").alias("url_canon"),
+            F.lit(1).alias("priority"),  # all discovered links at priority 1 (extract_hrefs.c:142)
+            (F.col("parent_depth") + 1).alias("depth"),
+            F.col("from_url").alias("parent_url"),
+            F.lit(g + 1).cast("long").alias("discovered_at"),
+        )
+    )
+    new_frontier_rows = _with_identity(new_frontier_rows, cfg.num_shards)
+    # seen-gate at push time (extract_hrefs.c:139-143) — against PRE-batch seen
+    new_frontier_rows = seen_ops.filter_unseen(new_frontier_rows, seen, sketches)
+
+    # frontier' = (frontier ∖ admitted ∖ skipped) ∪ new, ZADD-upsert dedup
+    leftover = candidates.join(batch.select("url_sha1"), "url_sha1", "left_anti")
+    frontier_next = (
+        leftover.select(*schemas_frontier_cols())
+        .unionByName(new_frontier_rows.select(*schemas_frontier_cols()))
+        .groupBy("url_canon")
+        .agg(
+            F.min("priority").alias("priority"),
+            F.min("url").alias("url"),
+            F.min("url_sha1").alias("url_sha1"),
+            F.min("host").alias("host"),
+            F.min("shard").alias("shard"),
+            F.min("depth").alias("depth"),
+            F.min("parent_url").alias("parent_url"),
+            F.min("discovered_at").alias("discovered_at"),
+        )
+        .select(*schemas_frontier_cols())
+    )
+
+    # -------- 7 + 8. mark seen, fold host state, update sketches
+    batch_keys = batch.select("url_sha1", "shard").join(
+        disallowed.select("url_sha1"), "url_sha1", "left_anti"
+    )
+    seen_next_delta = batch_keys.dropDuplicates(["url_sha1"])
+    sketch_next = seen_ops.update_sketches(
+        spark, sketches, seen_next_delta, cfg.num_shards,
+        capacity=seen_ops.DEFAULT_SHARD_CAPACITY, fpp=cfg.bloom_fpp,
+    )
+
+    results = fetched.select("host", "host_rank", "fetch_time", "status", "response_ms").unionByName(
+        disallowed.select(
+            "host", "host_rank", "fetch_time",
+            F.lit(None).cast("int").alias("status"),
+            F.lit(None).cast("int").alias("response_ms"),
+        )
+    )
+    host_state_next = sched.fold_host_state(host_state, results)
+
+    bytes_dl = (
+        pages_new.agg(F.coalesce(F.sum("content_size"), F.lit(0))).collect()[0][0]
+    )
+
+    # -------- 9. atomic snapshot
+    cat.stage("frontier", frontier_next)
+    cat.stage_append("seen", seen_next_delta, snap)
+    cat.stage("seen_sketch", sketch_next)
+    cat.stage("robots", robots_all) if robots is None else cat.stage_append("robots", new_rules, snap)
+    cat.stage("host_state", host_state_next)
+    cat.stage_append("pages", pages_new, snap)
+    cat.stage_append(
+        "links", links_new.select("from_url", "to_url").dropDuplicates(), snap
+    )
+    page_images_new = analyzed.select(
+        F.col("url_canon").alias("page_url"), F.explode_outer("images").alias("img")
+    ).select(
+        "page_url",
+        F.col("img.src").alias("src"),
+        F.col("img.alt").alias("alt"),
+        F.col("img.width").alias("width"),
+        F.col("img.height").alias("height"),
+    ).filter(F.col("src").isNotNull())
+    cat.stage_append("page_images", page_images_new, snap)
+
+    if cfg.oracle_mode:
+        # time advances to the single fetch's slot (the C sleeps to it)
+        t_next_row = batch.select(F.max("fetch_time")).collect()[0][0]
+        t_next = float(t_next_row) if t_next_row is not None else t0
+    else:
+        t_next = t0 + cfg.horizon
+    metrics = {
+        "urls_processed": total_processed + n_fetched,
+        "urls_skipped": int(snap.metrics.get("urls_skipped", 0)) + n_skipped,
+        "urls_disallowed": int(snap.metrics.get("urls_disallowed", 0)) + n_disallowed,
+        "bytes_downloaded": int(snap.metrics.get("bytes_downloaded", 0)) + int(bytes_dl),
+        "crawl_rank_next": rank_next + n_fetched,
+    }
+    cat.commit(generation=g + 1, t0=t_next, metrics=metrics)
+
+    n_frontier_next = cat.read("frontier").count()
+    for df in (frontier, candidates, batch, robots_all, fetched, analyzed, decided, links_new):
+        df.unpersist()
+    done = n_frontier_next == 0 or (
+        cfg.max_pages and metrics["urls_processed"] >= cfg.max_pages
+    )
+    return GenerationResult(g, n_fetched, n_skipped, n_disallowed, n_frontier_next, bool(done))
+
+
+def schemas_frontier_cols() -> list[str]:
+    return [
+        "url", "url_canon", "url_sha1", "host", "shard",
+        "priority", "depth", "parent_url", "discovered_at",
+    ]
+
+
+def run_crawl(
+    spark: SparkSession,
+    catalog_root: str,
+    seeds: DataFrame,
+    cfg: CrawlConfig,
+    web: SynthWebConfig,
+    max_generations: int = 1000,
+) -> Catalog:
+    """Full fixed-point crawl: init + generations until drained/budget."""
+    cat = init_crawl(spark, catalog_root, seeds, cfg)
+    return resume_crawl(cat, cfg, web, max_generations)
+
+
+def resume_crawl(
+    cat: Catalog,
+    cfg: CrawlConfig,
+    web: SynthWebConfig,
+    max_generations: int = 1000,
+) -> Catalog:
+    """Continue from the last committed snapshot (byte-identical resume)."""
+    for _ in range(max_generations):
+        res = run_generation(cat, cfg, web)
+        if res.done:
+            break
+    return cat

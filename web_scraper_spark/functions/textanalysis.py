@@ -1,0 +1,207 @@
+"""Text-analysis operators for the training-data pipeline surface.
+
+Large-scale corpus curation ops over the ``documents`` table — language
+identification, quality scoring, token counting, document fingerprinting —
+each defined ONCE as paired builders:
+
+- ``*_expr(col)``  → a native Spark Column (JVM, whole-stage codegen; no
+  Python in the hot path), and
+- ``*_sql(col)``   → the equivalent DuckDB ANSI-SQL fragment,
+
+both generated from the same constants, so the driver's DuckDB oracle
+verifies the Spark plan value-for-value. The reference analog is the
+content_analyzer surface (sentiment P12, language placeholder
+content_analyzer.c:289, keywords); these extend it to the corpus-pipeline
+operations a 100 TB crawl feeds.
+
+Determinism notes:
+- 60-bit hashes come from md5 hex prefixes (portable: Spark ``conv`` ↔
+  DuckDB ``CAST('0x…' AS UBIGINT)``), NOT engine-native hash functions
+  (Spark xxhash64 and DuckDB hash() disagree);
+- tokenization = split on ``\\s+`` after trim, identical regex both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# portable 60-bit hash (md5 prefix)
+# --------------------------------------------------------------------------
+
+
+def md5_60_expr(c: Column) -> Column:
+    """First 15 md5 hex chars as a non-negative int64 (fits: < 2^60)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def md5_60_sql(c: str) -> str:
+    return f"CAST(CAST('0x' || substr(md5({c}), 1, 15) AS UBIGINT) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# token count
+# --------------------------------------------------------------------------
+
+
+def token_count_expr(text: Column) -> Column:
+    """Whitespace token count; empty/blank text → 0."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def token_count_sql(text: str) -> str:
+    return (
+        f"CASE WHEN length(trim({text})) = 0 THEN 0 "
+        f"ELSE len(regexp_split_to_array(trim({text}), '\\s+')) END"
+    )
+
+
+# --------------------------------------------------------------------------
+# quality signals (length / punctuation / stopword ratios)
+# --------------------------------------------------------------------------
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"]
+# substring-count trick shared with sentiment (P12): count(w) =
+# (len(s) - len(replace(s, w, ''))) / len(w) — identical in Spark and DuckDB.
+
+
+def _count_sub_expr(text: Column, w: str) -> Column:
+    return (F.length(text) - F.length(F.replace(text, F.lit(w), F.lit("")))) / len(w)
+
+
+def _count_sub_sql(text: str, w: str) -> str:
+    return f"(length({text}) - length(replace({text}, '{w}', ''))) / {len(w)}"
+
+
+def punct_ratio_expr(text: Column) -> Column:
+    """Fraction of chars that are .,!?;: — 0.0 for empty text."""
+    stripped = F.regexp_replace(text, r"[.,!?;:]", "")
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        (F.length(text) - F.length(stripped)).cast("double") / F.length(text)
+    )
+
+
+def punct_ratio_sql(text: str) -> str:
+    return (
+        f"CASE WHEN length({text}) = 0 THEN 0.0 ELSE "
+        f"CAST(length({text}) - length(regexp_replace({text}, '[.,!?;:]', '', 'g')) AS DOUBLE)"
+        f" / length({text}) END"
+    )
+
+
+def stopword_ratio_expr(text: Column) -> Column:
+    """Stopword substring hits / token count (0 when no tokens).
+
+    Substring (not token) matching — deliberately the same semantics as the
+    reference's sentiment counter (content_analyzer.c:215-257)."""
+    lower = F.lower(text)
+    hits = None
+    for w in STOPWORDS:
+        c = _count_sub_expr(lower, f" {w} ")
+        hits = c if hits is None else hits + c
+    toks = token_count_expr(text)
+    return F.when(toks == 0, F.lit(0.0)).otherwise(hits.cast("double") / toks)
+
+
+def stopword_ratio_sql(text: str) -> str:
+    lower = f"lower({text})"
+    hits = " + ".join(_count_sub_sql(lower, f" {w} ") for w in STOPWORDS)
+    return (
+        f"CASE WHEN {token_count_sql(text)} = 0 THEN 0.0 "
+        f"ELSE CAST({hits} AS DOUBLE) / ({token_count_sql(text)}) END"
+    )
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + punctuation sanity +
+    stopword presence. Deterministic, explainable, SQL-oracled."""
+    n = F.length(text)
+    len_score = F.when(n < 50, n / 50.0).when(n > 5000, F.lit(0.5)).otherwise(F.lit(1.0))
+    p = punct_ratio_expr(text)
+    punct_score = F.when(p > 0.2, F.lit(0.3)).otherwise(F.lit(1.0))
+    s = stopword_ratio_expr(text)
+    stop_score = F.when(s > 0.05, F.lit(1.0)).otherwise(F.lit(0.6))
+    return F.round((len_score * 0.4 + punct_score * 0.3 + stop_score * 0.3), 6)
+
+
+def quality_score_sql(text: str) -> str:
+    n = f"length({text})"
+    len_score = f"CASE WHEN {n} < 50 THEN {n} / 50.0 WHEN {n} > 5000 THEN 0.5 ELSE 1.0 END"
+    p = punct_ratio_sql(text)
+    punct_score = f"CASE WHEN ({p}) > 0.2 THEN 0.3 ELSE 1.0 END"
+    s = stopword_ratio_sql(text)
+    stop_score = f"CASE WHEN ({s}) > 0.05 THEN 1.0 ELSE 0.6 END"
+    return f"round(({len_score}) * 0.4 + ({punct_score}) * 0.3 + ({stop_score}) * 0.3, 6)"
+
+
+# --------------------------------------------------------------------------
+# language identification (marker-word score, argmax)
+# --------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "is", "of", "to"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "de", "es"],
+    "zh": ["的", "是", "了", "在", "不"],
+}
+_LANG_ORDER = ["en", "de", "fr", "es", "zh"]  # tie-break: first wins
+
+
+def _lang_score_expr(text: Column, lang: str) -> Column:
+    lower = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    score = None
+    for w in LANG_MARKERS[lang]:
+        pat = w if lang == "zh" else f" {w} "
+        c = _count_sub_expr(lower, pat)
+        score = c if score is None else score + c
+    return score
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Predicted language = argmax marker-hit count; 'und' when all zero."""
+    scores = {lang: _lang_score_expr(text, lang) for lang in _LANG_ORDER}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # reversed so earlier languages win ties (when() chains shadow later ones)
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang in _LANG_ORDER:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr.otherwise(out)
+
+
+def _lang_score_sql(text: str, lang: str) -> str:
+    lower = f"(' ' || lower({text}) || ' ')"
+    return " + ".join(
+        _count_sub_sql(lower, w if lang == "zh" else f" {w} ") for w in LANG_MARKERS[lang]
+    )
+
+
+def lang_id_sql(text: str) -> str:
+    scores = {lang: f"({_lang_score_sql(text, lang)})" for lang in _LANG_ORDER}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = "".join(
+        f" WHEN {scores[lang]} = {best} THEN '{lang}'" for lang in _LANG_ORDER
+    )
+    return f"CASE WHEN {best} <= 0 THEN 'und'{whens} ELSE 'und' END"
+
+
+# --------------------------------------------------------------------------
+# document fingerprint (normalized-content hash)
+# --------------------------------------------------------------------------
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """Content fingerprint: 60-bit md5 of casefolded, whitespace-collapsed
+    text — the exact-dedup key that survives formatting noise."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return md5_60_expr(norm)
+
+
+def fingerprint_sql(text: str) -> str:
+    norm = f"regexp_replace(lower(trim({text})), '\\s+', ' ', 'g')"
+    return md5_60_sql(norm)
