@@ -1,38 +1,671 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql for web_scraper_spark.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every SQL-expressible operator family from SURVEY.md §2 plus the
+training-data pipeline surface (dedup / similarity / text analysis /
+multimodal) has a `queries()` entry; each oracle-able one has a matched
+DuckDB SQL in `oracle_sql()` built from the SAME paired builders
+(web_scraper_spark.functions.*), so Spark and DuckDB compute the same
+function with the same column names. Entries with no oracle are the
+genuinely approximate / non-SQL ops (LSH candidates, full crawl loop,
+binary image plumbing) — driver records rows-only checks for those.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from web_scraper_spark.functions import dedupops, simsearch
+from web_scraper_spark.functions import textanalysis as ta
+from web_scraper_spark.functions import textops
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+N_HOSTS_MOD = 20  # events.user_id % 20 → synthetic "host" for frontier queries
+
+
+def _events_frontier(spark, sf_dir):
+    """events reinterpreted as a crawl frontier: host = user_id % 20,
+    member key = zero-padded event_id (ZSET bytes-lex order), priority =
+    event_id % 3 (exercises the priority asc, lex asc contract)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        (F.col("user_id") % N_HOSTS_MOD).cast("bigint").alias("host_id"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0").alias("url_canon"),
+        (F.col("event_id") % 3).cast("int").alias("priority"),
+        F.col("event_id"),
+    )
+
+
+_EVENTS_FRONTIER_SQL = f"""
+  SELECT CAST(user_id % {N_HOSTS_MOD} AS BIGINT) AS host_id,
+         lpad(CAST(event_id AS VARCHAR), 12, '0') AS url_canon,
+         CAST(event_id % 3 AS INTEGER) AS priority,
+         event_id
+  FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: corpus-curation pass over sf0.001 documents — token count,
+    language id, quality score, fingerprint, simhash, sentiment — the
+    single-scan analysis pipeline (P12/P13 analog + pipeline ops)."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        ta.token_count_expr(t).cast("bigint").alias("n_tokens"),
+        ta.lang_id_expr(t).alias("lang_pred"),
+        ta.quality_score_expr(t).alias("quality"),
+        ta.fingerprint_expr(t).alias("fp"),
+        dedupops.simhash_expr(t).alias("simhash"),
+        F.round(textops.sentiment_sql_expr(F.lower(t)), 6).alias("sentiment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---------------- relational / aggregation core (S19, A1, A2, O2-O3, J4)
+    def q_pricing_summary(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    q["pricing_summary"] = q_pricing_summary
+
+    def q_trend_topk(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        daily = ev.groupBy(
+            "event_type", F.to_date("ts").cast("string").alias("day")
+        ).agg(F.count("*").alias("frequency"))
+        w = Window.partitionBy("event_type").orderBy("day")
+        g = daily.withColumn("prev", F.lag("frequency").over(w)).withColumn(
+            "growth_rate",
+            F.when(
+                F.col("prev").isNotNull(),
+                F.round((F.col("frequency") - F.col("prev")) / F.col("prev"), 6),
+            ),
+        )
+        wr = Window.orderBy(F.desc("frequency"), F.col("event_type"), F.col("day"))
+        return (
+            g.withColumn("rk", F.row_number().over(wr))
+            .filter(F.col("rk") <= 20)
+            .select("event_type", "day", "frequency", "growth_rate", "rk")
+        )
+
+    q["trend_topk"] = q_trend_topk
+
+    def q_top_hosts(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        agg = ev.groupBy(F.col("user_id").alias("host_id")).agg(F.count("*").alias("n_urls"))
+        w = Window.orderBy(F.desc("n_urls"), F.col("host_id"))
+        return agg.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+
+    q["top_hosts"] = q_top_hosts
+
+    def q_fk_lookup(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        li = _t(spark, sf_dir, "lineitem")
+        return (
+            o.filter(F.col("o_custkey") == 7)
+            .join(li, o["o_orderkey"] == li["l_orderkey"])
+            .groupBy("o_orderkey", "o_totalprice")
+            .agg(F.count("*").alias("n_items"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        )
+
+    q["fk_lookup"] = q_fk_lookup
+
+    def q_link_2hop(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer")
+        o = _t(spark, sf_dir, "orders")
+        li = _t(spark, sf_dir, "lineitem")
+        two = (
+            c.join(o, c["c_custkey"] == o["o_custkey"])
+            .join(li, o["o_orderkey"] == li["l_orderkey"])
+            .groupBy("c_custkey")
+            .agg(F.count("*").alias("n_2hop"))
+        )
+        w = Window.orderBy(F.desc("n_2hop"), F.col("c_custkey"))
+        return two.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 25)
+
+    q["link_2hop"] = q_link_2hop
+
+    def q_crawl_report_grouping_sets(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        ev.createOrReplaceTempView("ev_gs")
+        return spark.sql(
+            """
+            SELECT event_type,
+                   CAST(user_id % 10 AS BIGINT) AS host_bucket,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM ev_gs
+            GROUP BY GROUPING SETS ((event_type), (user_id % 10), (event_type, user_id % 10))
+            """
+        )
+
+    q["crawl_report_grouping_sets"] = q_crawl_report_grouping_sets
+
+    # ---------------- frontier / queue semantics (S5, S6, O2, T1, M2)
+    def q_frontier_next_batch(spark, sf_dir):
+        fr = _events_frontier(spark, sf_dir)
+        w = Window.partitionBy("host_id").orderBy(F.col("priority").asc(), F.col("url_canon").asc())
+        return (
+            fr.withColumn("host_rank", F.row_number().over(w))
+            .filter(F.col("host_rank") <= 3)
+            .select("host_id", "event_id", "priority", "host_rank")
+        )
+
+    q["frontier_next_batch"] = q_frontier_next_batch
+
+    def q_frontier_admission(spark, sf_dir):
+        """The real scheduler operator (admit_batch) under SQL oracle:
+        per-host delays 1+host%3, t0=0, horizon=5 → slots (rank-1)*delay."""
+        from web_scraper_spark.operators.scheduler import admit_batch
+
+        fr = _events_frontier(spark, sf_dir).withColumnRenamed("host_id", "host")
+        hosts = fr.select("host").distinct()
+        state = hosts.select(
+            "host",
+            F.lit(1.0).alias("min_delay"),
+            (F.lit(1.0) + (F.col("host") % 3)).cast("double").alias("current_delay"),
+            F.lit(0.0).alias("last_fetch"),
+            F.lit(0).cast("int").alias("consecutive_errors"),
+        )
+        out = admit_batch(fr, state, t0=0.0, horizon=5.0, salt=4)
+        return out.select(
+            F.col("host").alias("host_id"),
+            "event_id",
+            "host_rank",
+            F.round("fetch_time", 6).alias("fetch_time"),
+        )
+
+    q["frontier_admission"] = q_frontier_admission
+
+    def q_priority_reorder(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        w = Window.orderBy(F.col("o_orderpriority").asc(), F.col("o_orderkey").asc())
+        return (
+            o.withColumn("pop_rank", F.row_number().over(w))
+            .filter(F.col("pop_rank") <= 100)
+            .select("pop_rank", "o_orderkey", "o_orderpriority")
+        )
+
+    q["priority_reorder"] = q_priority_reorder
+
+    def q_zadd_min_upsert(spark, sf_dir):
+        ev = _t(spark, sf_dir, "events")
+        return ev.groupBy(F.col("user_id").alias("member")).agg(
+            F.round(F.min("value"), 6).alias("score"), F.count("*").alias("n_pushes")
+        )
+
+    q["zadd_min_upsert"] = q_zadd_min_upsert
+
+    # ---------------- seen-set membership (S3/S4, J1, M1)
+    def q_seen_membership(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        cand = spark.range(1, 20001).select(F.col("id").alias("key"))
+        return cand.join(o.select(F.col("o_orderkey").alias("key")), "key", "left_anti")
+
+    q["seen_membership"] = q_seen_membership
+
+    def q_seen_membership_sketch(spark, sf_dir):
+        """Same answer, via the engine's bloom/cuckoo-accelerated path:
+        keys → sha1 → sharded sketches → bloom prefilter → exact anti-join.
+        The oracle proves the sketch path changes nothing (M1 contract)."""
+        from web_scraper_spark.functions.urlops import shard_expr
+        from web_scraper_spark.operators import seen as seen_ops
+
+        o = _t(spark, sf_dir, "orders")
+        seen = o.select(F.sha1(F.col("o_orderkey").cast("string")).alias("url_sha1")).withColumn(
+            "shard", shard_expr(F.col("url_sha1"), 16)
+        )
+        cand = (
+            spark.range(1, 20001)
+            .select(F.col("id").alias("key"))
+            .withColumn("url_sha1", F.sha1(F.col("key").cast("string")))
+            .withColumn("shard", shard_expr(F.col("url_sha1"), 16))
+        )
+        sk = seen_ops.collect_sketches(seen_ops.build_sketches(seen, capacity=4096))
+        out = seen_ops.filter_unseen(cand, seen, sk)
+        return out.select("key")
+
+    q["seen_membership_sketch"] = q_seen_membership_sketch
+
+    # ---------------- text analysis (P8-P13 + pipeline)
+    def _docs(spark, sf_dir):
+        return _t(spark, sf_dir, "documents")
+
+    q["sentiment"] = lambda s, d: _docs(s, d).select(
+        "doc_id",
+        F.round(textops.sentiment_sql_expr(F.lower(F.col("text"))), 6).alias("sentiment"),
+    )
+    q["lang_id"] = lambda s, d: _docs(s, d).select(
+        "doc_id", ta.lang_id_expr(F.col("text")).alias("lang_pred")
+    )
+    q["token_count"] = lambda s, d: _docs(s, d).select(
+        "doc_id", ta.token_count_expr(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    q["quality_score"] = lambda s, d: _docs(s, d).select(
+        "doc_id", ta.quality_score_expr(F.col("text")).alias("quality")
+    )
+    q["fingerprint"] = lambda s, d: _docs(s, d).select(
+        "doc_id", ta.fingerprint_expr(F.col("text")).alias("fp")
+    )
+
+    # ---------------- dedup family
+    def q_exact_dup_groups(spark, sf_dir):
+        """Exact dedup with injected duplicates (ids +100000 are copies of
+        the 10 smallest doc_ids) — groups found by fingerprint groupBy."""
+        d = _docs(spark, sf_dir)
+        dup = d.orderBy("doc_id").limit(10).withColumn("doc_id", F.col("doc_id") + 100000)
+        both = d.unionByName(dup)
+        return dedupops.exact_dup_groups(both)
+
+    q["exact_dup_groups"] = q_exact_dup_groups
+    q["simhash"] = lambda s, d: _docs(s, d).select(
+        "doc_id", dedupops.simhash_expr(F.col("text")).alias("sh")
+    )
+    q["simhash_pairs"] = lambda s, d: dedupops.simhash_pairs(_docs(s, d), max_hamming=3)
+    q["ngram_jaccard_pairs"] = lambda s, d: dedupops.ngram_jaccard_pairs(
+        _docs(s, d), threshold=0.12, n=8
+    )
+    q["minhash_lsh_pairs"] = lambda s, d: dedupops.minhash_lsh_pairs(  # no oracle: LSH recall < 1
+        _docs(s, d), threshold=0.12, n=8
+    )
+
+    # ---------------- embeddings: similarity + phash analog (J6)
+    def _emb(spark, sf_dir):
+        return _t(spark, sf_dir, "embeddings")
+
+    def q_embedding_sig_neardup(spark, sf_dir):
+        """16-bit sign signature of the embedding (the phash analog) →
+        LSH band self-join → hamming <= 2 pairs; oracle = exact O(n²) SQL."""
+        e = _emb(spark, sf_dir)
+        bits = [
+            F.when(F.col("embedding")[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(16)
+        ]
+        sig = bits[0]
+        for b in bits[1:]:
+            sig = sig + b
+        s = e.select("vec_id", sig.cast("bigint").alias("sig"))
+        bands = s.select(
+            "vec_id",
+            "sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftrightunsigned(F.col("sig"), b * 4)
+                            .bitwiseAND(F.lit(0xF))
+                            .alias("bv"),
+                        )
+                        for b in range(4)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("vec_id", "sig", "bb.band", "bb.bv")
+        a = bands.select(F.col("vec_id").alias("vec_a"), F.col("sig").alias("sa"), "band", "bv")
+        bb = bands.select(F.col("vec_id").alias("vec_b"), F.col("sig").alias("sb"), "band", "bv")
+        return (
+            a.join(bb, ["band", "bv"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select(
+                "vec_a",
+                "vec_b",
+                F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
+            )
+            .dropDuplicates(["vec_a", "vec_b"])
+            .filter(F.col("hamming") <= 2)
+        )
+
+    q["embedding_sig_neardup"] = q_embedding_sig_neardup
+
+    def q_cosine_to_query(spark, sf_dir):
+        e = _emb(spark, sf_dir).withColumn("embedding", F.col("embedding").cast("array<double>"))
+        qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+        j = e.crossJoin(F.broadcast(qv))
+        return j.select(
+            "vec_id",
+            F.round(simsearch.cosine_expr(F.col("embedding"), F.col("q_vec")), 4).alias("cos"),
+        )
+
+    q["cosine_to_query"] = q_cosine_to_query
+
+    def q_ann_brute_topk(spark, sf_dir):
+        e = _emb(spark, sf_dir).withColumn("embedding", F.col("embedding").cast("array<double>"))
+        qs = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        return simsearch.brute_topk(e, qs, k=5).select("q_id", "vec_id", "cosine", "rank")
+
+    q["ann_brute_topk"] = q_ann_brute_topk
+
+    def q_ann_lsh_topk(spark, sf_dir):  # no oracle: approximate by design
+        e = _emb(spark, sf_dir)
+        qs = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        return simsearch.lsh_topk(e, qs, k=5, dim=64)
+
+    q["ann_lsh_topk"] = q_ann_lsh_topk
+
+    # ---------------- crawl-native ops (no SQL oracle: synthetic web corpus)
+    def q_robots_decisions(spark, sf_dir):
+        from web_scraper_spark import synth
+        from web_scraper_spark.functions.urlops import (
+            host_expr,
+            normalize_path_expr,
+            split_base_path_exprs,
+        )
+        from web_scraper_spark.operators.robots import decide_allowed, rules_from_corpus
+
+        web = synth.SynthWebConfig(n_hosts=8, pages_per_host=30)
+        corpus = spark.createDataFrame(
+            [(r["host"], r["body"]) for r in synth.robots_corpus_rows(web)], ["host", "body"]
+        )
+        robots = rules_from_corpus(corpus, fetched_at=0)
+        urls = spark.createDataFrame([(u,) for u in synth.all_urls(web)], ["url_canon"])
+        _, path = split_base_path_exprs(F.col("url_canon"))
+        fr = urls.withColumn("host", host_expr(F.col("url_canon"))).withColumn(
+            "norm_path", normalize_path_expr(path)
+        )
+        return decide_allowed(fr, robots).select("url_canon", "allowed")
+
+    q["robots_decisions"] = q_robots_decisions
+
+    def q_crawl_smoke(spark, sf_dir):
+        """Tiny end-to-end batched crawl (3 hosts) → pages table sans
+        binary content. Exercises the full generation loop under the
+        driver's rows-check; deep equality vs the simulator is pytest's job."""
+        import shutil
+        import tempfile
+
+        from web_scraper_spark import synth
+        from web_scraper_spark.config import CrawlConfig
+        from web_scraper_spark.crawl import run_crawl
+
+        web = synth.SynthWebConfig(n_hosts=3, pages_per_host=6)
+        cfg = CrawlConfig(max_pages=10, max_depth=2, horizon=5.0, num_shards=8)
+        root = tempfile.mkdtemp(prefix="wss_smoke_", dir="/tmp")
+        try:
+            seeds = spark.createDataFrame(
+                [(r["url"], r["priority"]) for r in synth.seed_url_rows(web)],
+                ["url", "priority"],
+            )
+            cat = run_crawl(spark, root, seeds, cfg, web, max_generations=12)
+            pages = cat.read("pages").select(
+                "url", "host", "status", "crawl_rank", "depth", "title", "sentiment"
+            )
+            rows = pages.collect()
+            return spark.createDataFrame(rows, pages.schema)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    q["crawl_smoke"] = q_crawl_smoke
+
+    def q_image_invariants(spark, sf_dir):
+        """input_hint table → decode + phash recompute (must match stored)."""
+        from web_scraper_spark import synth
+        from web_scraper_spark.functions import multimodal
+
+        imgs = synth.images_df(spark, 256, seed=42)
+        feats = multimodal.image_features(imgs).withColumnRenamed("phash", "phash_re")
+        j = imgs.join(feats, "image_id")
+        return j.select(
+            "image_id",
+            "fmt",
+            (F.col("dec_w") == F.col("w")).alias("w_ok"),
+            (F.col("dec_h") == F.col("h")).alias("h_ok"),
+            (F.col("phash") == F.col("phash_re")).alias("phash_ok"),
+            "decode_ok",
+        )
+
+    q["image_invariants"] = q_image_invariants
+
+    def q_image_neardup_lsh(spark, sf_dir):
+        """phash near-duplicate pruning (J6) on the image table."""
+        from web_scraper_spark import synth
+        from web_scraper_spark.functions.imageops import hamming_expr, phash_band_exprs
+
+        imgs = synth.images_df(spark, 512, seed=42)
+        ph = imgs.select("image_id", "phash")
+        bands = ph.select(
+            "image_id", "phash",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(i).alias("band"), e.alias("bv"))
+                    for i, e in enumerate(phash_band_exprs(F.col("phash")))
+                ])
+            ).alias("bb"),
+        ).select("image_id", "phash", "bb.band", "bb.bv")
+        a = bands.select(F.col("image_id").alias("img_a"), F.col("phash").alias("pa"), "band", "bv")
+        b = bands.select(F.col("image_id").alias("img_b"), F.col("phash").alias("pb"), "band", "bv")
+        return (
+            a.join(b, ["band", "bv"])
+            .filter(F.col("img_a") < F.col("img_b"))
+            .select("img_a", "img_b", hamming_expr(F.col("pa"), F.col("pb")).alias("hamming"))
+            .dropDuplicates(["img_a", "img_b"])
+            .filter(F.col("hamming") <= 3)
+        )
+
+    q["image_neardup_lsh"] = q_image_neardup_lsh
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — same names, same aliases
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["pricing_summary"] = """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(avg(l_discount), 6) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
     """
-    return {}
+
+    o["trend_topk"] = """
+      WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS frequency
+        FROM events GROUP BY 1, 2
+      ), g AS (
+        SELECT event_type, day, frequency,
+               lag(frequency) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        FROM daily
+      )
+      SELECT event_type, day, frequency,
+             CASE WHEN prev IS NOT NULL THEN round((frequency - prev) / CAST(prev AS DOUBLE), 6) END AS growth_rate,
+             row_number() OVER (ORDER BY frequency DESC, event_type, day) AS rk
+      FROM g QUALIFY rk <= 20
+    """
+
+    o["top_hosts"] = """
+      SELECT host_id, n_urls, rk FROM (
+        SELECT user_id AS host_id, count(*) AS n_urls,
+               row_number() OVER (ORDER BY count(*) DESC, user_id) AS rk
+        FROM events GROUP BY user_id
+      ) WHERE rk <= 10
+    """
+
+    o["fk_lookup"] = """
+      SELECT o_orderkey, o_totalprice, count(*) AS n_items, round(sum(l_quantity), 2) AS qty
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_custkey = 7
+      GROUP BY o_orderkey, o_totalprice
+    """
+
+    o["link_2hop"] = """
+      SELECT c_custkey, n_2hop, rk FROM (
+        SELECT c_custkey, count(*) AS n_2hop,
+               row_number() OVER (ORDER BY count(*) DESC, c_custkey) AS rk
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY c_custkey
+      ) WHERE rk <= 25
+    """
+
+    o["crawl_report_grouping_sets"] = """
+      SELECT event_type, CAST(user_id % 10 AS BIGINT) AS host_bucket,
+             count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events
+      GROUP BY GROUPING SETS ((event_type), (user_id % 10), (event_type, user_id % 10))
+    """
+
+    o["frontier_next_batch"] = f"""
+      WITH fr AS ({_EVENTS_FRONTIER_SQL})
+      SELECT host_id, event_id, priority, host_rank FROM (
+        SELECT host_id, event_id, priority,
+               row_number() OVER (PARTITION BY host_id ORDER BY priority ASC, url_canon ASC) AS host_rank
+        FROM fr
+      ) WHERE host_rank <= 3
+    """
+
+    o["frontier_admission"] = f"""
+      WITH fr AS ({_EVENTS_FRONTIER_SQL}),
+      ranked AS (
+        SELECT host_id, event_id,
+               row_number() OVER (PARTITION BY host_id ORDER BY priority ASC, url_canon ASC) AS host_rank,
+               1.0 + (host_id % 3) AS delay
+        FROM fr
+      )
+      SELECT host_id, event_id, CAST(host_rank AS INTEGER) AS host_rank,
+             round(host_rank * delay, 6) AS fetch_time
+      FROM ranked WHERE host_rank * delay < 5.0
+    """
+
+    o["priority_reorder"] = """
+      SELECT pop_rank, o_orderkey, o_orderpriority FROM (
+        SELECT row_number() OVER (ORDER BY o_orderpriority ASC, o_orderkey ASC) AS pop_rank,
+               o_orderkey, o_orderpriority
+        FROM orders
+      ) WHERE pop_rank <= 100
+    """
+
+    o["zadd_min_upsert"] = """
+      SELECT user_id AS member, round(min(value), 6) AS score, count(*) AS n_pushes
+      FROM events GROUP BY user_id
+    """
+
+    o["seen_membership"] = """
+      SELECT gs.key FROM (SELECT unnest(generate_series(1, 20000)) AS key) gs
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = gs.key)
+    """
+    o["seen_membership_sketch"] = o["seen_membership"]
+
+    o["sentiment"] = _sentiment_oracle_sql()
+    o["lang_id"] = f"SELECT doc_id, {ta.lang_id_sql('text')} AS lang_pred FROM documents"
+    o["token_count"] = f"SELECT doc_id, {ta.token_count_sql('text')} AS n_tokens FROM documents"
+    o["quality_score"] = f"SELECT doc_id, {ta.quality_score_sql('text')} AS quality FROM documents"
+    o["fingerprint"] = f"SELECT doc_id, {ta.fingerprint_sql('text')} AS fp FROM documents"
+
+    fp = ta.fingerprint_sql("text")  # exact_dup_groups uses md5-60 of raw text
+    from web_scraper_spark.functions.textanalysis import md5_60_sql
+
+    raw_fp = md5_60_sql("text")
+    o["exact_dup_groups"] = f"""
+      WITH unioned AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text
+        FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 10)
+      )
+      SELECT {raw_fp} AS fp, count(*) AS n_docs, min(doc_id) AS keep_id
+      FROM unioned GROUP BY 1 HAVING count(*) > 1
+    """
+
+    o["simhash"] = f"SELECT doc_id, {dedupops.simhash_sql('text')} AS sh FROM documents"
+    o["simhash_pairs"] = dedupops.simhash_pairs_sql(max_hamming=3)
+    o["ngram_jaccard_pairs"] = dedupops.ngram_jaccard_pairs_sql(threshold=0.12, n=8)
+
+    sig_sql = (
+        "("
+        + " + ".join(
+            f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+        )
+        + ")"
+    )
+    o["embedding_sig_neardup"] = f"""
+      WITH s AS (SELECT vec_id, CAST({sig_sql} AS BIGINT) AS sig FROM embeddings)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, bit_count(xor(a.sig, b.sig)) AS hamming
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= 2
+    """
+
+    o["cosine_to_query"] = """
+      WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+      q AS (SELECT embedding AS q_vec FROM d WHERE vec_id = 0)
+      SELECT e.vec_id, round(list_cosine_similarity(e.embedding, q.q_vec), 4) AS cos
+      FROM d e CROSS JOIN q
+    """
+
+    o["ann_brute_topk"] = """
+      WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+      q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM d WHERE vec_id IN (0, 1, 2)),
+      scored AS (
+        SELECT q.q_id, e.vec_id,
+               round(list_cosine_similarity(e.embedding, q.q_vec), 6) AS cosine
+        FROM d e CROSS JOIN q
+      )
+      SELECT q_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+      FROM scored QUALIFY rank <= 5
+    """
+
+    return o
+
+
+def _sentiment_oracle_sql() -> str:
+    from web_scraper_spark.functions.textops import NEGATIVE_WORDS, POSITIVE_WORDS
+
+    def cnt(w):
+        return f"(length(t) - length(replace(t, '{w}', ''))) / {len(w)}"
+
+    pos = " + ".join(cnt(w) for w in POSITIVE_WORDS)
+    neg = " + ".join(cnt(w) for w in NEGATIVE_WORDS)
+    return f"""
+      WITH l AS (SELECT doc_id, lower(text) AS t FROM documents)
+      SELECT doc_id,
+             CASE WHEN ({pos}) + ({neg}) > 0
+                  THEN round((({pos}) - ({neg})) / (({pos}) + ({neg})), 6)
+                  ELSE 0.0 END AS sentiment
+      FROM l
+    """

@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+ "sf": ..., "urls_per_sec": ...}
+
+The headline mix covers the engine's two surfaces:
+- crawl-side: a full generation-shaped pipeline over a synthetic frontier
+  (identity → bloom-gated seen anti-join → politeness admission → robots
+  decision), plus the raw sketch-accelerated dedup join — the primary
+  BASELINE.json metric (URLs fetched+deduped per second) comes from these;
+- pipeline-side: relational/agg/window queries + dedup/similarity/text ops
+  at the given scale factor.
+
+Scaling evidence (local[8] vs local[32]) is produced by
+scripts/scaling_bench.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+FRONTIER_URLS = int(os.environ.get("WSS_BENCH_FRONTIER", "2000000"))
+SEEN_URLS = int(os.environ.get("WSS_BENCH_SEEN", "1000000"))
+
+
+def synthetic_frontier(spark, n: int, partitions: int):
+    """n virtual URLs spread over 1000 hosts with a hot host (~30%) —
+    generated, never materialized driver-side (the 10^10 pattern)."""
+    r = spark.range(0, n, 1, partitions)
+    host = (
+        F.when(F.pmod("id", 10) < 3, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), 997) + 1)
+    )
+    return r.select(
+        F.concat(
+            F.lit("http://h"), host.cast("string"), F.lit(".bench.test/p/"), F.col("id").cast("string")
+        ).alias("url_canon"),
+        F.lit(1).alias("priority"),
+    )
+
+
+def bench_crawl_generation(spark):
+    """One generation-shaped pass: identity → seen anti-join (bloom path
+    skipped at this scale: plain sort-merge anti) → admission → count."""
+    from web_scraper_spark.functions.urlops import host_expr, sha1_expr, shard_expr
+    from web_scraper_spark.operators.scheduler import admit_batch
+
+    fr = synthetic_frontier(spark, FRONTIER_URLS, CPUS * 2)
+    fr = (
+        fr.withColumn("url_sha1", sha1_expr(F.col("url_canon")))
+        .withColumn("host", host_expr(F.col("url_canon")))
+        .withColumn("shard", shard_expr(F.col("url_sha1"), 4096))
+    )
+    seen = (
+        spark.range(0, SEEN_URLS, 1, CPUS * 2)
+        .select(
+            F.sha1(
+                F.concat(
+                    F.lit("http://h"),
+                    (F.when(F.pmod("id", 10) < 3, F.lit(0)).otherwise(F.pmod(F.xxhash64("id"), 997) + 1)).cast("string"),
+                    F.lit(".bench.test/p/"),
+                    F.col("id").cast("string"),
+                )
+            ).alias("url_sha1")
+        )
+    )
+    candidates = fr.join(seen, "url_sha1", "left_anti")
+    state = spark.createDataFrame([], "host string, min_delay double, current_delay double, last_fetch double, consecutive_errors int")
+    admitted = admit_batch(candidates, state, t0=0.0, horizon=8.0, salt=16)
+    return admitted.count()
+
+
+def bench_seen_sketch_dedup(spark):
+    """Sketch-accelerated membership: build per-shard blooms over the seen
+    set, then filter a candidate stream through bloom + exact verify."""
+    from web_scraper_spark.functions.urlops import shard_expr
+    from web_scraper_spark.operators import seen as seen_ops
+
+    n_seen, n_cand, shards = 200_000, 400_000, 64
+    seen = (
+        spark.range(0, n_seen, 1, CPUS)
+        .select(F.sha1(F.col("id").cast("string")).alias("url_sha1"))
+        .withColumn("shard", shard_expr(F.col("url_sha1"), shards))
+    )
+    sk = seen_ops.collect_sketches(seen_ops.build_sketches(seen, capacity=1 << 14))
+    cand = (
+        spark.range(0, n_cand, 1, CPUS)
+        .select(F.sha1(F.col("id").cast("string")).alias("url_sha1"))
+        .withColumn("shard", shard_expr(F.col("url_sha1"), shards))
+    )
+    return seen_ops.filter_unseen(cand, seen, sk).count()
+
+
+def bench_queries(spark):
+    """Name → thunk returning a row count (forces full execution)."""
+    import __spark_entry__ as em
+
+    Q = em.queries()
+
+    def run(name):
+        return lambda: Q[name](spark, SF_DIR).count()
+
+    return {
+        "crawl_generation": lambda: bench_crawl_generation(spark),
+        "seen_sketch_dedup": lambda: bench_seen_sketch_dedup(spark),
+        "pricing_summary": run("pricing_summary"),
+        "trend_topk": run("trend_topk"),
+        "link_2hop": run("link_2hop"),
+        "frontier_admission": run("frontier_admission"),
+        "priority_reorder": run("priority_reorder"),
+        "sentiment": run("sentiment"),
+        "lang_id": run("lang_id"),
+        "quality_score": run("quality_score"),
+        "simhash": run("simhash"),
+        "simhash_pairs": run("simhash_pairs"),
+        "ann_brute_topk": run("ann_brute_topk"),
+        "embedding_sig_neardup": run("embedding_sig_neardup"),
+        "image_invariants": run("image_invariants"),
+        "image_neardup_lsh": run("image_neardup_lsh"),
+    }
+
+
+def main():
+    from web_scraper_spark.session import get_spark
+
+    spark = get_spark("wss-bench", cores=CPUS, shuffle_partitions=max(CPUS, 16))
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    total0 = time.perf_counter()
+    for name, thunk in bench_queries(spark).items():
+        t0 = time.perf_counter()
+        counts[name] = thunk()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - total0, 3)
+    urls_per_sec = round((FRONTIER_URLS) / timings["crawl_generation"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (crawl generation + dedup + pipeline ops)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "urls_per_sec": urls_per_sec,
+                "frontier_urls": FRONTIER_URLS,
+                "cpus": CPUS,
+                "row_counts": counts,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
