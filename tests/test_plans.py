@@ -1,0 +1,99 @@
+"""Physical-plan quality gates (SURVEY.md §4.2 — verify Catalyst did it).
+
+These lock in the scale-critical plan properties: predicate pushdown into
+parquet, column pruning, broadcast for the small side of joins, zero
+cartesian products anywhere in the query surface, and live whole-stage
+codegen for the native expression pipeline.
+"""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entrymod
+
+from web_scraper_spark.plans import audit
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").filter(F.col("l_orderkey") == 42).select(
+        "l_orderkey", "l_quantity"
+    )
+    assert audit.has_pushed_filters(df, "l_orderkey")
+
+
+def test_column_pruning(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    scans = audit.read_schema_columns(df)
+    assert scans and all(set(c) == {"l_orderkey", "l_quantity"} for c in scans)
+
+
+def test_pushdown_survives_engine_exprs(spark):
+    """The text-analysis exprs are pure Column logic — a doc_id filter
+    below them must still reach the scan (UDFs would block this)."""
+    from web_scraper_spark.functions import textanalysis as ta
+
+    df = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", ta.quality_score_expr(F.col("text")).alias("q"))
+    )
+    assert audit.has_pushed_filters(df, "doc_id")
+
+
+def test_robots_decision_is_broadcast(spark):
+    from web_scraper_spark import synth
+    from web_scraper_spark.functions.urlops import host_expr, normalize_path_expr, split_base_path_exprs
+    from web_scraper_spark.operators.robots import decide_allowed, rules_from_corpus
+
+    web = synth.SynthWebConfig()
+    corpus = spark.createDataFrame(
+        [(r["host"], r["body"]) for r in synth.robots_corpus_rows(web)], ["host", "body"]
+    )
+    robots = rules_from_corpus(corpus, fetched_at=0)
+    urls = spark.createDataFrame([(u,) for u in synth.all_urls(web)], ["url_canon"])
+    _, path = split_base_path_exprs(F.col("url_canon"))
+    fr = urls.withColumn("host", host_expr(F.col("url_canon"))).withColumn(
+        "norm_path", normalize_path_expr(path)
+    )
+    out = decide_allowed(fr, robots)
+    assert audit.broadcast_joins(out) >= 1
+    assert not audit.has_cartesian(out)
+
+
+def test_no_cartesian_in_any_query(spark):
+    """Every driver query must be cartesian-free: the near-dup joins go
+    through band/bucket equi-joins, top-k through windows. (cosine has an
+    intentional 1-row broadcast cross join — exempted.)"""
+    exempt = {"cosine_to_query", "ann_brute_topk", "ann_lsh_topk", "crawl_smoke"}
+    for name, fn in entrymod.queries().items():
+        if name in exempt:
+            continue
+        df = fn(spark, SF)
+        assert not audit.has_cartesian(df), name
+
+
+def test_codegen_covers_native_pipeline(spark):
+    df = entrymod.queries()["pricing_summary"](spark, SF)
+    assert audit.codegen_stages(df) >= 1
+    df2 = entrymod.queries()["simhash"](spark, SF)
+    assert audit.codegen_stages(df2) >= 1
+
+
+def test_admission_partial_rank_bounds_skew(spark):
+    """The salted two-stage top-K must appear as TWO window stages (salted
+    partial + exact), so no single task ranks a whole hot host."""
+    from web_scraper_spark.operators.scheduler import admit_batch
+
+    fr = entrymod._events_frontier(spark, SF).withColumnRenamed("host_id", "host")
+    state = spark.createDataFrame(
+        [], "host string, min_delay double, current_delay double, last_fetch double, consecutive_errors int"
+    )
+    out = admit_batch(fr, state, t0=0.0, horizon=5.0, salt=8)
+    plan = audit.physical_plan(out)
+    assert plan.count("Window") >= 2
