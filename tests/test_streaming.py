@@ -1,0 +1,152 @@
+"""Streaming politeness gate + windowed metrics (SURVEY.md §2.7 T1/T2).
+
+The gate runs as a real streaming query (parquet file source → memory
+sink) across TWO micro-batches so GroupState genuinely persists between
+batches: batch 2's slots must respect batch 1's last_fetch, and AIMD
+updates from completion events must change the delay."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_scraper_spark.streaming.politeness import (
+    GATE_INPUT_FIELDS,
+    crawl_metrics_stream,
+    politeness_gate,
+)
+
+
+def _write_batch(spark, path, rows):
+    df = spark.createDataFrame(rows, GATE_INPUT_FIELDS)
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+class TestPolitenessGate:
+    def test_two_microbatches_respect_state(self, spark, tmp_path):
+        src = str(tmp_path / "cand")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src, exist_ok=True)
+
+        # batch 1: three candidates on h1 (slots 1,2,3s) + one on h2
+        _write_batch(
+            spark,
+            src,
+            [
+                ("h1", "u_b", 1, 0.0, None, None),
+                ("h1", "u_a", 1, 0.0, None, None),
+                ("h1", "u_c", 0, 0.0, None, None),
+                ("h2", "u_x", 1, 0.0, None, None),
+            ],
+        )
+        stream = spark.readStream.schema(GATE_INPUT_FIELDS).parquet(src)
+        q = (
+            politeness_gate(stream)
+            .writeStream.format("memory")
+            .queryName("gate_out")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            out1 = {
+                r["url_canon"]: r
+                for r in spark.sql("select * from gate_out").collect()
+            }
+            # ZSET order: priority asc then lex → u_c, u_a, u_b
+            assert out1["u_c"]["fetch_time"] == 1.0  # base = last(0)+delay(1)
+            assert out1["u_a"]["fetch_time"] == 2.0
+            assert out1["u_b"]["fetch_time"] == 3.0
+            assert out1["u_x"]["fetch_time"] == 1.0
+
+            # batch 2: slow completion on h1 (rt 5s > delay → x1.5) + new candidate
+            _write_batch(
+                spark,
+                src,
+                [
+                    ("h1", "u_done", 1, 3.0, 200, 5000),
+                    ("h1", "u_d", 1, 4.0, None, None),
+                ],
+            )
+            q.processAllAvailable()
+            out2 = {
+                r["url_canon"]: r for r in spark.sql("select * from gate_out").collect()
+            }
+            # AIMD slow-server branch: delay 1.0 → 1.5; base = max(3.0+1.5, 4.0)
+            assert out2["u_d"]["current_delay"] == 1.5
+            assert out2["u_d"]["fetch_time"] == 4.5
+        finally:
+            q.stop()
+
+    def test_error_penalty_after_three_errors(self, spark, tmp_path):
+        src = str(tmp_path / "cand2")
+        ckpt = str(tmp_path / "ckpt2")
+        os.makedirs(src, exist_ok=True)
+        _write_batch(
+            spark,
+            src,
+            [("h9", f"e{i}", 1, float(i), 500, 100) for i in range(3)]
+            + [("h9", "u_after", 1, 9.0, None, None)],
+        )
+        stream = spark.readStream.schema(GATE_INPUT_FIELDS).parquet(src)
+        q = (
+            politeness_gate(stream)
+            .writeStream.format("memory")
+            .queryName("gate_err")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = {r["url_canon"]: r for r in spark.sql("select * from gate_err").collect()}
+            # 3 consecutive errors → delay *= 2 (rate_limiter.c:113-118)
+            assert rows["u_after"]["current_delay"] == 2.0
+        finally:
+            q.stop()
+
+
+class TestMetricsStream:
+    def test_windowed_counts(self, spark, tmp_path):
+        src = str(tmp_path / "pages")
+        ckpt = str(tmp_path / "ckpt3")
+        os.makedirs(src, exist_ok=True)
+        rows = [
+            ("h1", "2026-01-01 00:00:10", 100),
+            ("h1", "2026-01-01 00:00:50", 200),
+            ("h1", "2026-01-01 00:01:10", 300),
+            ("h2", "2026-01-01 00:00:20", 50),
+        ]
+        df = spark.createDataFrame(rows, "host string, ts string, content_size long").select(
+            "host", F.to_timestamp("ts").alias("fetched_ts"), "content_size"
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        q = (
+            crawl_metrics_stream(stream)
+            .writeStream.format("memory")
+            .queryName("metrics_out")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # append mode emits only windows closed by the watermark; write a
+            # late row far in the future to close the earlier windows
+            late = spark.createDataFrame(
+                [("h1", "2026-01-01 01:00:00", 1)], "host string, ts string, content_size long"
+            ).select("host", F.to_timestamp("ts").alias("fetched_ts"), "content_size")
+            late.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            got = {
+                (str(r["window_start"]), r["host"]): (r["urls_processed"], r["bytes_downloaded"])
+                for r in spark.sql("select * from metrics_out").collect()
+            }
+            assert got[("2026-01-01 00:00:00", "h1")] == (2, 300)
+            assert got[("2026-01-01 00:01:00", "h1")] == (1, 300)
+            assert got[("2026-01-01 00:00:00", "h2")] == (1, 50)
+        finally:
+            q.stop()
