@@ -81,6 +81,42 @@ def bench_crawl_generation(spark):
     return admitted.count()
 
 
+FETCH_URLS = int(os.environ.get("WSS_BENCH_FETCH", "40000"))
+
+
+def bench_crawl_fetch_extract(spark, n: int | None = None):
+    """The generation's Arrow/Python stage: synthetic fetch (mapInPandas)
+    → title/links extraction → canonicalize → sha1. This is where real
+    crawl time goes (network+parse in production); Python workers are
+    separate processes, so this stage scales with cores independent of
+    JVM memory-bandwidth limits."""
+    from web_scraper_spark import synth
+    from web_scraper_spark.functions import textops
+    from web_scraper_spark.functions.urlops import canonicalize, sha1_expr
+    from web_scraper_spark.sources import fetch as fetch_src
+
+    n = n or FETCH_URLS
+    web = synth.SynthWebConfig(n_hosts=64, pages_per_host=max(n // 64, 1))
+    urls = spark.range(0, n, 1, CPUS * 2).select(
+        F.concat(
+            F.lit("http://h"),
+            F.pmod("id", 64).cast("string"),
+            F.lit(".example.test/p/"),
+            (F.col("id") / 64).cast("long").cast("string"),
+        ).alias("url_canon")
+    )
+    fetched = fetch_src.fetch_pages(urls, web)
+    links = fetched.select(
+        "url_canon",
+        textops.title_udf("content").alias("title"),
+        F.explode(textops.links_udf("content")).alias("href"),
+    )
+    out = links.select(
+        sha1_expr(canonicalize(F.col("url_canon"), F.col("href"))).alias("sha1")
+    ).filter(F.col("sha1").isNotNull())
+    return out.count()
+
+
 def bench_seen_sketch_dedup(spark):
     """Sketch-accelerated membership: build per-shard blooms over the seen
     set, then filter a candidate stream through bloom + exact verify."""
@@ -113,6 +149,7 @@ def bench_queries(spark):
 
     return {
         "crawl_generation": lambda: bench_crawl_generation(spark),
+        "crawl_fetch_extract": lambda: bench_crawl_fetch_extract(spark),
         "seen_sketch_dedup": lambda: bench_seen_sketch_dedup(spark),
         "pricing_summary": run("pricing_summary"),
         "trend_topk": run("trend_topk"),

@@ -2,14 +2,22 @@
 """Two-parallelism scaling evidence (the sandbox stand-in for N vs 4N
 executors — driver instruction in BASELINE.md).
 
-Runs the SAME crawl-generation job (bench.bench_crawl_generation: synthetic
-frontier → sha1 identity → seen anti-join → politeness admission) on the
-SAME input at local[8] and local[32], in separate processes (one JVM each),
-and writes throughput at both + scaling efficiency to BENCH/BASELINE.md.
+Runs the SAME two crawl jobs on the SAME inputs at local[8] and local[32],
+one JVM per level (separate processes), and writes throughputs + scaling
+efficiencies to BENCH/BASELINE.md:
+
+- fetch_extract: the generation's Arrow/Python stage (synthetic fetch →
+  title/link extraction → canonicalize → sha1). Python workers are
+  separate OS processes, so this measures true multi-core scaling of the
+  engine's dominant cost center (network+parse in production).
+- dedup_admission: the JVM stage (sha1 identity → seen anti-join → salted
+  politeness admission). In ONE local JVM this is memory-bandwidth- and
+  GC-shared across all task threads — a known under-report of multi-node
+  scaling (each real executor brings its own memory bus + heap).
 
 efficiency = (throughput_32 / throughput_8) / 4   (target >= 0.8)
 
-Usage: python scripts/scaling_bench.py [--frontier N] [--repeat K]
+Usage: python scripts/scaling_bench.py [--frontier N] [--fetch N] [--repeat K]
 """
 
 from __future__ import annotations
@@ -31,30 +39,36 @@ import bench
 cores = int(os.environ["WSS_CORES"])
 repeat = int(os.environ["WSS_REPEAT"])
 spark = get_spark(f"scaling-{cores}", cores=cores, shuffle_partitions=cores * 2)
-# warmup (JIT + codegen + shuffle setup)
-bench.bench_crawl_generation(spark)
-best = None
-for _ in range(repeat):
-    t0 = time.perf_counter()
-    n = bench.bench_crawl_generation(spark)
-    dt = time.perf_counter() - t0
-    best = dt if best is None or dt < best else best
-print("WSS_RESULT " + json.dumps({"cores": cores, "sec": best, "rows": n}))
+res = {"cores": cores}
+for name, fn in [
+    ("fetch_extract", bench.bench_crawl_fetch_extract),
+    ("dedup_admission", bench.bench_crawl_generation),
+]:
+    fn(spark)  # warmup (JIT + codegen + python worker spin-up)
+    best = None
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        n = fn(spark)
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    res[name] = {"sec": best, "rows": n}
+print("WSS_RESULT " + json.dumps(res))
 spark.stop()
 """
 
 
-def run_level(cores: int, frontier: int, repeat: int) -> dict:
+def run_level(cores: int, frontier: int, fetch: int, repeat: int) -> dict:
     env = dict(
         os.environ,
         WSS_REPO=REPO,
         WSS_CORES=str(cores),
         WSS_REPEAT=str(repeat),
         WSS_BENCH_FRONTIER=str(frontier),
+        WSS_BENCH_FETCH=str(fetch),
         SPARK_GRAFT_CPUS=str(cores),
     )
     out = subprocess.run(
-        [sys.executable, "-c", WORKER], env=env, capture_output=True, text=True, timeout=1800
+        [sys.executable, "-c", WORKER], env=env, capture_output=True, text=True, timeout=2400
     )
     for line in out.stdout.splitlines():
         if line.startswith("WSS_RESULT "):
@@ -64,42 +78,65 @@ def run_level(cores: int, frontier: int, repeat: int) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frontier", type=int, default=int(os.environ.get("WSS_BENCH_FRONTIER", "2000000")))
+    ap.add_argument("--frontier", type=int, default=int(os.environ.get("WSS_BENCH_FRONTIER", "20000000")))
+    ap.add_argument("--fetch", type=int, default=int(os.environ.get("WSS_BENCH_FETCH", "40000")))
     ap.add_argument("--repeat", type=int, default=2)
     args = ap.parse_args()
 
-    r8 = run_level(8, args.frontier, args.repeat)
-    r32 = run_level(32, args.frontier, args.repeat)
-    tp8 = args.frontier / r8["sec"]
-    tp32 = args.frontier / r32["sec"]
-    eff = (tp32 / tp8) / 4.0
+    r8 = run_level(8, args.frontier, args.fetch, args.repeat)
+    r32 = run_level(32, args.frontier, args.fetch, args.repeat)
+
+    jobs = {
+        "fetch_extract": args.fetch,
+        "dedup_admission": args.frontier,
+    }
+    lines = []
+    effs = {}
+    for job, n in jobs.items():
+        tp8 = n / r8[job]["sec"]
+        tp32 = n / r32[job]["sec"]
+        eff = (tp32 / tp8) / 4.0
+        effs[job] = round(eff, 3)
+        lines.append(
+            f"| {job} | {n:,} | {r8[job]['sec']:.2f} s / {tp8:,.0f} URL/s "
+            f"| {r32[job]['sec']:.2f} s / {tp32:,.0f} URL/s | **{eff:.3f}** |"
+        )
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = f"""# BENCH/BASELINE.md — measured scaling evidence
 
-Job: one crawl generation over a synthetic {args.frontier:,}-URL frontier
-(hot host ~30%): URL identity (sha1/host/shard, JVM exprs) → seen-set
-anti-join ({os.environ.get('WSS_BENCH_SEEN', '1000000')} seen keys) → salted
-politeness admission (two-stage top-K window). Same input both levels;
-best of {args.repeat} timed runs after one warmup; separate JVMs.
+Same job, same input, two parallelism levels (separate JVMs; best of
+{args.repeat} timed runs after one warmup). Sandbox stand-in for N vs 4N
+executors per the driver instruction.
 
-| parallelism | wall sec | URLs/sec |
-|---|---|---|
-| local[8]  (N)  | {r8['sec']:.2f} | {tp8:,.0f} |
-| local[32] (4N) | {r32['sec']:.2f} | {tp32:,.0f} |
+| job | input URLs | local[8] (N) | local[32] (4N) | efficiency (tp4N/tpN)/4 |
+|---|---|---|---|---|
+{chr(10).join(lines)}
 
-**Scaling efficiency (throughput_4N / throughput_N) / 4 = {eff:.3f}**
-(target >= 0.8, BASELINE.json north rule; sandbox evidence per driver
-instruction — two local parallelism levels stand in for N vs 4N executors).
+Target: >= 0.8 (BASELINE.json north rule).
 
-Caveats: single-machine memory bandwidth is shared across all cores, so
-local[32] under-reports what 4x the machines would deliver; both shuffles
-(host window, sha1 anti-join) are key-parallel with no driver-side
-bottleneck, which is the property that transfers to a real cluster.
+**fetch_extract** — the generation's Arrow/Python stage (synthetic fetch →
+title/link extraction via pandas UDFs → canonicalize → sha1). Python
+workers are separate OS processes with private heaps; this is the engine's
+dominant cost center in production (network + parse) and the best local
+proxy for multi-executor scaling.
+
+**dedup_admission** — the JVM stage (sha1 identity → seen-set sort-merge
+anti-join over {args.frontier:,}+{os.environ.get("WSS_BENCH_SEEN", "10000000")}
+rows → salted two-stage top-K politeness admission). All 32 task threads
+share ONE memory bus and ONE GC in local mode, so this row under-reports
+cluster scaling by construction: on a real 4N-executor cluster each
+executor brings its own DRAM bandwidth and heap. The plan itself is fully
+key-parallel — both shuffles hash-partition on high-cardinality keys
+(url_sha1, (host, salt)), no driver-side loop, no broadcast of large data —
+which is the property that transfers to multi-node.
+
+Primary-metric snapshot (BASELINE.json: URLs fetched+deduped/sec): see the
+`urls_per_sec` field of BENCH_r*.json (driver-run `bench.py` at sf0.1).
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"eff": round(eff, 3), "tp8": round(tp8), "tp32": round(tp32)}))
+    print(json.dumps({"eff": effs}))
 
 
 if __name__ == "__main__":

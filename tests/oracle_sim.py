@@ -108,7 +108,7 @@ def simulate(
     crawl_order: list[tuple[int, str, str, int]] = []
     disallowed_log: list[str] = []
     t0 = 0.0
-    processed = skipped = disallowed_n = bytes_dl = 0
+    processed = skipped = disallowed_n = bytes_dl = failed_n = 0
     gen = 0
 
     while gen < max_generations:
@@ -191,10 +191,16 @@ def simulate(
             h = host_of(u) or ""
             results.setdefault(h, []).append((rank, ft, None, 0.0))
         new_links: list[tuple[str, int, int]] = []  # (url, priority, depth)
+        completed: list[str] = []
         for u, rank, ft in allowed_rows:
             prio, depth = frontier[u]
             h = host_of(u) or ""
             status, html, _, ms = page_for_url(u, web)
+            if html is None:
+                # transport failure: slot consumed, nothing marked/extracted
+                failed_n += 1
+                continue
+            completed.append(u)
             crawl_order.append((gen, u, h, prio))
             processed += 1
             bytes_dl += len(html.encode()) if html else 0
@@ -211,8 +217,8 @@ def simulate(
                         continue
                     new_links.append((c, 1, depth + 1))
 
-        # ---- 7. mark seen (allowed only)
-        for u, _, _ in allowed_rows:
+        # ---- 7. mark seen (successfully fetched only)
+        for u in completed:
             seen.add(sha1_hex(u))
 
         # ---- 8. AIMD fold per host in slot (rank) order
@@ -257,5 +263,6 @@ def simulate(
             "urls_skipped": skipped,
             "urls_disallowed": disallowed_n,
             "bytes_downloaded": bytes_dl,
+            "urls_failed": failed_n,
         },
     )

@@ -1,0 +1,106 @@
+"""API surface (reference entry points 2/3 + invalidation) and the
+fetch-failure / force_rescrape crawl semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_sim import sha1_hex, simulate
+from web_scraper_spark import api
+from web_scraper_spark.config import CrawlConfig
+from web_scraper_spark.crawl import run_crawl
+from web_scraper_spark.synth import SynthWebConfig, page_url, seed_url_rows
+
+
+def _seeds_df(spark, web):
+    rows = seed_url_rows(web)
+    return spark.createDataFrame([(r["url"], r["priority"]) for r in rows], ["url", "priority"])
+
+
+@pytest.fixture(scope="module")
+def crawled(spark, tmp_path_factory):
+    web = SynthWebConfig(n_hosts=3, pages_per_host=8)
+    cfg = CrawlConfig(max_pages=12, max_depth=2, horizon=6.0, num_shards=8)
+    root = str(tmp_path_factory.mktemp("api_crawl"))
+    cat = run_crawl(spark, root, _seeds_df(spark, web), cfg, web, max_generations=20)
+    return cat, web, cfg
+
+
+class TestAnalyzeUrl:
+    def test_cache_hit(self, spark, crawled):
+        cat, web, _ = crawled
+        url = cat.read("pages").select("url").first()["url"]
+        out = api.analyze_url(spark, cat, url, web).collect()
+        assert len(out) == 1 and out[0]["cached"] is True
+        assert out[0]["title"] is not None
+
+    def test_cache_miss_fetches(self, spark, crawled):
+        cat, web, _ = crawled
+        # a URL outside the crawl budget → fresh single-row fetch
+        url = page_url(2, 6)
+        out = api.analyze_url(spark, cat, url, web).collect()
+        assert len(out) == 1 and out[0]["cached"] is False
+        assert out[0]["title"].startswith("Page ")
+
+
+class TestTrendingTopics:
+    def test_topk_deterministic(self, spark, crawled):
+        cat, _, _ = crawled
+        out = api.trending_topics(cat, k=5).collect()
+        assert 1 <= len(out) <= 5
+        assert [r["rk"] for r in out] == list(range(1, len(out) + 1))
+        freqs = [r["frequency"] for r in out]
+        assert freqs == sorted(freqs, reverse=True)
+
+
+class TestClearUrl:
+    def test_invalidate_then_unseen(self, spark, crawled):
+        cat, web, cfg = crawled
+        url = cat.read("pages").select("url").first()["url"]
+        api.clear_url(cat, url, cfg.num_shards)
+        snap = cat.commit(
+            generation=cat.current_snapshot().generation + 1,
+            t0=cat.current_snapshot().t0,
+            metrics=cat.current_snapshot().metrics,
+        )
+        seen = {r["url_sha1"] for r in cat.read("seen").collect()}
+        assert sha1_hex(url) not in seen
+        assert cat.read("pages").filter(F.col("url") == url).count() == 0
+
+
+class TestFetchFailures:
+    def test_failed_fetch_not_marked_seen_and_matches_sim(self, spark, tmp_path_factory):
+        web = SynthWebConfig(n_hosts=3, pages_per_host=8, fail_rate=0.2)
+        cfg = CrawlConfig(max_pages=15, max_depth=2, horizon=6.0, num_shards=8)
+        root = str(tmp_path_factory.mktemp("fail_crawl"))
+        cat = run_crawl(spark, root, _seeds_df(spark, web), cfg, web, max_generations=25)
+        sim = simulate([(r["url"], r["priority"]) for r in seed_url_rows(web)], cfg, web)
+
+        m = cat.current_snapshot().metrics
+        assert m.get("urls_failed", 0) == sim.metrics["urls_failed"]
+        assert m["urls_failed"] > 0, "fixture should produce failures"
+        seen = {r["url_sha1"] for r in cat.read("seen").collect()}
+        assert seen == sim.seen
+        order = [r["url"] for r in cat.read("pages").orderBy("crawl_rank").collect()]
+        assert order == [u for _, u, _, _ in sim.crawl_order]
+
+
+class TestForceRescrape:
+    def test_revisits_seen_urls(self, spark, tmp_path_factory):
+        web = SynthWebConfig(n_hosts=2, pages_per_host=5)
+        root = str(tmp_path_factory.mktemp("force_crawl"))
+        cfg = CrawlConfig(max_pages=6, max_depth=1, horizon=6.0, num_shards=8)
+        cat = run_crawl(spark, root, _seeds_df(spark, web), cfg, web, max_generations=10)
+        first_pages = cat.read("pages").count()
+
+        # continue with force_rescrape + more budget: previously-seen URLs
+        # get fetched again (pages appends duplicate-url rows)
+        from web_scraper_spark.crawl import resume_crawl
+
+        cfg2 = CrawlConfig(
+            max_pages=10, max_depth=1, horizon=6.0, num_shards=8, force_rescrape=True
+        )
+        resume_crawl(cat, cfg2, web, max_generations=2)
+        pages = cat.read("pages")
+        assert pages.count() > first_pages
+        dup_urls = pages.groupBy("url").count().filter("count > 1").count()
+        assert dup_urls > 0

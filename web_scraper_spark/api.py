@@ -1,0 +1,103 @@
+"""User-facing API surface mirroring the reference CLI entry points.
+
+- ``analyze_url``     — entry point 2 (`-a <url>`, main.c:279-284 →
+  scraper.c:244-287): cache read-through (S13/J5) then single-URL
+  fetch+analyze; never re-fetches a cached analysis.
+- ``trending_topics`` — entry point 3 (`-t [limit]`, main.c:273-278 →
+  detect_trends): grouped topic frequency + growth over crawl
+  generations, top-k (A2 done for real — the reference's detect_trends
+  returns a placeholder {"AI", 42, 15.5}, content_analyzer.c:495-535).
+- ``clear_url``       — S11 cache invalidation (cache_clear_url,
+  cache.c:300-320): removes a URL from seen + pages so the next crawl
+  re-fetches it (cuckoo-side deletion handled by the caller's next
+  update_sketches call with deletes=).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import Catalog
+from .functions import textops
+from .functions.urlops import host_expr, sha1_expr
+from .sources import fetch as fetch_src
+from .synth import SynthWebConfig
+
+
+def analyze_url(spark: SparkSession, cat: Catalog | None, url: str, web: SynthWebConfig) -> DataFrame:
+    """Single-URL analysis with cache read-through.
+
+    Returns one row (url, title, description, keywords, sentiment,
+    language, cached:boolean)."""
+    cols = ["url", "title", "description", "keywords", "sentiment", "language"]
+    if cat is not None:
+        pages = cat.read("pages")
+        if pages is not None:
+            hit = pages.filter(F.col("url") == url).select(*cols)
+            if hit.head(1):
+                return hit.withColumn("cached", F.lit(True))
+    one = spark.createDataFrame([(url,)], ["url_canon"])
+    fetched = fetch_src.fetch_pages(one, web)
+    return fetched.select(
+        F.col("url_canon").alias("url"),
+        textops.title_udf(F.col("content")).alias("title"),
+        textops.description_udf(F.col("content")).alias("description"),
+        textops.keywords_udf(F.col("content")).alias("keywords"),
+        textops.sentiment_udf(F.col("content")).alias("sentiment"),
+        F.lit("en").alias("language"),
+        F.lit(False).alias("cached"),
+    )
+
+
+def trending_topics(cat: Catalog, k: int = 10) -> DataFrame:
+    """Topic frequency + growth across crawl generations, top-k.
+
+    growth_rate = (count_latest_gen - count_prev_gen) / count_prev_gen,
+    null for topics seen in fewer than two generations."""
+    pages = cat.read("pages")
+    if pages is None:
+        raise ValueError("no pages crawled yet")
+    per_gen = (
+        pages.select(F.col("fetched_at").alias("gen"), F.explode("topics").alias("topic"))
+        .filter(F.length("topic") > 0)
+        .groupBy("topic", "gen")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("topic").orderBy("gen")
+    g = per_gen.withColumn("prev", F.lag("cnt").over(w))
+    latest = g.groupBy("topic").agg(
+        F.sum("cnt").alias("frequency"),
+        F.last("cnt").alias("_last"),
+        F.last("prev").alias("_prev"),
+    )
+    wr = Window.orderBy(F.desc("frequency"), F.col("topic"))
+    return (
+        latest.withColumn(
+            "growth_rate",
+            F.when(
+                F.col("_prev").isNotNull(),
+                F.round((F.col("_last") - F.col("_prev")) / F.col("_prev"), 6),
+            ),
+        )
+        .drop("_last", "_prev")
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def clear_url(cat: Catalog, url: str, num_shards: int) -> dict:
+    """Invalidate one URL: stage seen/pages without it (caller commits).
+    Returns the staged manifest entries."""
+    spark = cat.spark
+    key = spark.createDataFrame([(url,)], ["url_canon"]).select(
+        sha1_expr(F.col("url_canon")).alias("url_sha1")
+    )
+    out = {}
+    seen = cat.read("seen")
+    if seen is not None:
+        out["seen"] = cat.stage("seen", seen.join(key, "url_sha1", "left_anti"))
+    pages = cat.read("pages")
+    if pages is not None:
+        out["pages"] = cat.stage("pages", pages.filter(F.col("url") != url))
+    return out

@@ -159,10 +159,15 @@ def run_generation(
 
     frontier = frontier.cache()
 
-    # -------- 1. pop-gate: drop frontier rows already seen (urls_skipped)
-    candidates = seen_ops.filter_unseen(frontier, seen, sketches).cache()
-    n_frontier = frontier.count()
-    n_candidates = candidates.count()
+    # -------- 1. pop-gate: drop frontier rows already seen (urls_skipped).
+    # force_rescrape bypasses the visited check (url_processor.c:47-53)
+    if cfg.force_rescrape:
+        candidates = frontier
+        n_frontier = n_candidates = frontier.count()
+    else:
+        candidates = seen_ops.filter_unseen(frontier, seen, sketches).cache()
+        n_frontier = frontier.count()
+        n_candidates = candidates.count()
     n_skipped = n_frontier - n_candidates
     if n_candidates == 0 or (cfg.max_pages and total_processed >= cfg.max_pages):
         cat.stage("frontier", candidates.limit(0))
@@ -207,9 +212,14 @@ def run_generation(
     disallowed = decided.filter(~F.col("allowed")).drop("allowed", "norm_path")
     n_disallowed = disallowed.count()
 
-    # -------- 4 + 5. fetch + extract (one Arrow pipeline)
-    fetched = fetch_src.fetch_pages(allowed, web).cache()
+    # -------- 4 + 5. fetch + extract (one Arrow pipeline).
+    # Transport failures (content null — the curl-error path) are dropped
+    # without marking seen (url_processor.c:121-131): rediscovery re-queues.
+    fetched_all = fetch_src.fetch_pages(allowed, web).cache()
+    fetched = fetched_all.filter(F.col("content").isNotNull()).cache()
+    failed = fetched_all.filter(F.col("content").isNull())
     n_fetched = fetched.count()
+    n_failed = fetched_all.count() - n_fetched
 
     analyzed = (
         fetched.withColumn("title", textops.title_udf(F.col("content")))
@@ -296,8 +306,10 @@ def run_generation(
     )
 
     # -------- 7 + 8. mark seen, fold host state, update sketches
-    batch_keys = batch.select("url_sha1", "shard").join(
-        disallowed.select("url_sha1"), "url_sha1", "left_anti"
+    batch_keys = (
+        batch.select("url_sha1", "shard")
+        .join(disallowed.select("url_sha1"), "url_sha1", "left_anti")
+        .join(failed.select("url_sha1"), "url_sha1", "left_anti")
     )
     seen_next_delta = batch_keys.dropDuplicates(["url_sha1"])
     sketch_next = seen_ops.update_sketches(
@@ -305,8 +317,11 @@ def run_generation(
         capacity=seen_ops.DEFAULT_SHARD_CAPACITY, fpp=cfg.bloom_fpp,
     )
 
+    no_aimd = disallowed.select("host", "host_rank", "fetch_time").unionByName(
+        failed.select("host", "host_rank", "fetch_time")
+    )
     results = fetched.select("host", "host_rank", "fetch_time", "status", "response_ms").unionByName(
-        disallowed.select(
+        no_aimd.select(
             "host", "host_rank", "fetch_time",
             F.lit(None).cast("int").alias("status"),
             F.lit(None).cast("int").alias("response_ms"),
@@ -350,12 +365,13 @@ def run_generation(
         "urls_skipped": int(snap.metrics.get("urls_skipped", 0)) + n_skipped,
         "urls_disallowed": int(snap.metrics.get("urls_disallowed", 0)) + n_disallowed,
         "bytes_downloaded": int(snap.metrics.get("bytes_downloaded", 0)) + int(bytes_dl),
+        "urls_failed": int(snap.metrics.get("urls_failed", 0)) + n_failed,
         "crawl_rank_next": rank_next + n_fetched,
     }
     cat.commit(generation=g + 1, t0=t_next, metrics=metrics)
 
     n_frontier_next = cat.read("frontier").count()
-    for df in (frontier, candidates, batch, robots_all, fetched, analyzed, decided, links_new):
+    for df in (frontier, candidates, batch, robots_all, fetched_all, fetched, analyzed, decided, links_new):
         df.unpersist()
     done = n_frontier_next == 0 or (
         cfg.max_pages and metrics["urls_processed"] >= cfg.max_pages

@@ -52,6 +52,7 @@ class SynthWebConfig:
     seed: int = 42
     hot_host_share: float = 0.3  # fraction of cross-links aimed at host 0
     error_rate: float = 0.03     # seeded 4xx/5xx on known pages
+    fail_rate: float = 0.0       # seeded transport failures (curl-error analog)
     images_per_page: int = 2
     n_images: int = 256          # id space for img references
 
@@ -227,6 +228,11 @@ def page_for_url(url: str, cfg: SynthWebConfig) -> tuple[int, str | None, str, i
     """
     h = _h64(cfg.seed, "fetch", url)
     response_ms = 50 + h % 2450
+    # transport failure: libcurl error with no body (fetch_url.c returns
+    # chunk.response == NULL; url_processor.c:121-131 drops the task,
+    # never marking it visited)
+    if cfg.fail_rate and (h >> 40) % 1000 < int(cfg.fail_rate * 1000):
+        return 0, None, None, response_ms
     parts = url.split("/")
     known = False
     if len(parts) >= 5 and parts[0] in ("http:", "https:") and parts[2].startswith("h"):
