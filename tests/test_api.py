@@ -85,21 +85,41 @@ class TestFetchFailures:
 
 
 class TestForceRescrape:
-    def test_revisits_seen_urls(self, spark, tmp_path_factory):
+    """C semantics: the push gate (extract_hrefs.c:139-143) blocks visited
+    URLs from re-entering the queue regardless of force_rescrape; the flag
+    matters when already-visited URLs sit IN the queue — i.e. re-running
+    the binary with the same seeds (url_processor.c:47-53)."""
+
+    def test_reseed_without_force_skips(self, spark, tmp_path_factory):
         web = SynthWebConfig(n_hosts=2, pages_per_host=5)
-        root = str(tmp_path_factory.mktemp("force_crawl"))
+        root = str(tmp_path_factory.mktemp("force_a"))
+        cfg = CrawlConfig(max_pages=6, max_depth=1, horizon=6.0, num_shards=8)
+        cat = run_crawl(spark, root, _seeds_df(spark, web), cfg, web, max_generations=10)
+        first_pages = cat.read("pages").count()
+        skipped0 = cat.current_snapshot().metrics["urls_skipped"]
+
+        from web_scraper_spark.crawl import reseed_crawl, resume_crawl
+
+        reseed_crawl(cat, _seeds_df(spark, web), cfg)
+        resume_crawl(cat, cfg, web, max_generations=3)
+        # seeds already seen → skipped at the pop gate, no new pages
+        assert cat.read("pages").count() == first_pages
+        assert cat.current_snapshot().metrics["urls_skipped"] > skipped0
+
+    def test_reseed_with_force_refetches(self, spark, tmp_path_factory):
+        web = SynthWebConfig(n_hosts=2, pages_per_host=5)
+        root = str(tmp_path_factory.mktemp("force_b"))
         cfg = CrawlConfig(max_pages=6, max_depth=1, horizon=6.0, num_shards=8)
         cat = run_crawl(spark, root, _seeds_df(spark, web), cfg, web, max_generations=10)
         first_pages = cat.read("pages").count()
 
-        # continue with force_rescrape + more budget: previously-seen URLs
-        # get fetched again (pages appends duplicate-url rows)
-        from web_scraper_spark.crawl import resume_crawl
+        from web_scraper_spark.crawl import reseed_crawl, run_generation
 
         cfg2 = CrawlConfig(
-            max_pages=10, max_depth=1, horizon=6.0, num_shards=8, force_rescrape=True
+            max_pages=6 + 3, max_depth=1, horizon=6.0, num_shards=8, force_rescrape=True
         )
-        resume_crawl(cat, cfg2, web, max_generations=2)
+        reseed_crawl(cat, _seeds_df(spark, web), cfg2)
+        run_generation(cat, cfg2, web)
         pages = cat.read("pages")
         assert pages.count() > first_pages
         dup_urls = pages.groupBy("url").count().filter("count > 1").count()

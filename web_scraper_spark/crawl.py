@@ -370,7 +370,8 @@ def run_generation(
     }
     cat.commit(generation=g + 1, t0=t_next, metrics=metrics)
 
-    n_frontier_next = cat.read("frontier").count()
+    fr_next = cat.read("frontier")
+    n_frontier_next = fr_next.count() if fr_next is not None else 0
     for df in (frontier, candidates, batch, robots_all, fetched_all, fetched, analyzed, decided, links_new):
         df.unpersist()
     done = n_frontier_next == 0 or (
@@ -384,6 +385,50 @@ def schemas_frontier_cols() -> list[str]:
         "url", "url_canon", "url_sha1", "host", "shard",
         "priority", "depth", "parent_url", "discovered_at",
     ]
+
+
+def reseed_crawl(cat: Catalog, seeds: DataFrame, cfg: CrawlConfig) -> Catalog:
+    """Re-running the binary with a seed list against existing state
+    (main.c:290-310 on a warm Redis): seeds are unioned into the existing
+    frontier (ZADD upsert); all other tables carry forward. With
+    cfg.force_rescrape the next generations will re-fetch seeds that are
+    already in the seen set (url_processor.c:47-53); without it they are
+    skipped at the pop gate."""
+    snap = cat.current_snapshot()
+    assert snap is not None
+    seed_rows = (
+        seeds.select(
+            F.col("url"),
+            canonicalize(F.lit("http://seed.invalid/"), F.col("url")).alias("url_canon"),
+            F.col("priority").cast("int").alias("priority"),
+        )
+        .filter(F.col("url_canon").isNotNull())
+        .withColumn("depth", F.lit(0))
+        .withColumn("parent_url", F.lit(None).cast("string"))
+        .withColumn("discovered_at", F.lit(snap.generation).cast("long"))
+    )
+    seed_rows = _with_identity(seed_rows, cfg.num_shards).select(*schemas_frontier_cols())
+    old = cat.read("frontier")
+    merged = seed_rows if old is None else old.unionByName(seed_rows)
+    merged = (
+        merged.groupBy("url_canon")
+        .agg(
+            F.min("priority").alias("priority"),
+            F.min("url").alias("url"),
+            F.min("url_sha1").alias("url_sha1"),
+            F.min("host").alias("host"),
+            F.min("shard").alias("shard"),
+            F.min("depth").alias("depth"),
+            F.min("parent_url").alias("parent_url"),
+            F.min("discovered_at").alias("discovered_at"),
+        )
+        .select(*schemas_frontier_cols())
+    )
+    cat.stage("frontier", merged)
+    for t in ("seen", "seen_sketch", "robots", "host_state", "pages", "links", "page_images"):
+        cat.stage_keep(t, snap)
+    cat.commit(generation=snap.generation, t0=snap.t0, metrics=dict(snap.metrics))
+    return cat
 
 
 def run_crawl(
