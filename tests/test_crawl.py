@@ -102,7 +102,7 @@ class TestBatchedMode:
         web = SynthWebConfig(n_hosts=5, pages_per_host=12)
         cfg = CrawlConfig(
             max_pages=40, max_depth=3, horizon=6.0, num_shards=8,
-            hot_host_threshold=4, hot_host_salt=4,
+            hot_host_salt=4,
         )
         root = str(tmp_path_factory.mktemp("batched_crawl"))
         cat = run_crawl(spark, root, _seeds_df(spark, web), cfg, web, max_generations=40)

@@ -1,0 +1,65 @@
+"""Crawl → page_images → images join → training pairs, end-to-end.
+
+Validates the graft's core data product: every crawled <img> reference
+joins back to the authoritative image store with byte-equal captions
+(input_hint invariant), and the phash LSH dedup removes exactly the
+seeded near-duplicate images."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_scraper_spark import synth
+from web_scraper_spark.config import CrawlConfig
+from web_scraper_spark.crawl import run_crawl
+from web_scraper_spark.operators import pairs as pairs_ops
+
+
+@pytest.fixture(scope="module")
+def crawl_and_images(spark, tmp_path_factory):
+    web = synth.SynthWebConfig(n_hosts=3, pages_per_host=8)
+    cfg = CrawlConfig(max_pages=12, max_depth=2, horizon=6.0, num_shards=8)
+    root = str(tmp_path_factory.mktemp("pairs_crawl"))
+    seeds = spark.createDataFrame(
+        [(r["url"], r["priority"]) for r in synth.seed_url_rows(web)], ["url", "priority"]
+    )
+    cat = run_crawl(spark, root, seeds, cfg, web, max_generations=20)
+    images = synth.images_df(spark, web.n_images, seed=web.seed).cache()
+    return cat, images
+
+
+def test_pairs_join_and_caption_equality(spark, crawl_and_images):
+    cat, images = crawl_and_images
+    page_images = cat.read("page_images")
+    assert page_images.count() > 0
+    pairs = pairs_ops.image_caption_pairs(page_images, images).cache()
+    n = pairs.count()
+    assert n > 0
+    # every crawled reference must resolve (synth graph is closed over ids)
+    refs = page_images.filter(F.col("src").rlike("^/img/img-")).count()
+    assert n == refs
+    # input_hint invariant: alt text == stored caption, byte-equal, all rows
+    assert pairs.filter(~F.col("caption_matches")).count() == 0
+    assert pairs.filter(~F.col("dims_match")).count() == 0
+
+
+def test_phash_dedup_drops_seeded_neardups(spark, crawl_and_images):
+    _, images = crawl_and_images
+    drops = {r["image_id"] for r in pairs_ops.neardup_image_ids(images, 3).collect()}
+    expected = {
+        f"img-{i:010d}"
+        for i in range(1, images.count())
+        if i % synth.NEARDUP_STRIDE == 1
+    }
+    # every seeded perturbed copy is caught (hamming <= 2 by construction;
+    # organic collisions may add more drops, which is correct behavior)
+    assert expected <= drops
+
+
+def test_dedup_pairs_antijoin(spark, crawl_and_images):
+    cat, images = crawl_and_images
+    page_images = cat.read("page_images")
+    pairs = pairs_ops.image_caption_pairs(page_images, images)
+    deduped = pairs_ops.dedup_pairs(pairs, images, 3)
+    drops = pairs_ops.neardup_image_ids(images, 3)
+    joined = pairs.join(drops, "image_id", "left_semi").count()
+    assert deduped.count() == pairs.count() - joined

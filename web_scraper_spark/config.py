@@ -47,7 +47,6 @@ class CrawlConfig:
     horizon: float = 8.0          # politeness window length per generation (s)
     num_shards: int = 32          # seen-set shards (>=4096 at cluster scale)
     shuffle_partitions: int = 32
-    hot_host_threshold: int = 64  # candidates/generation above which a host is salted
     hot_host_salt: int = 8        # number of salt sub-shards for hot hosts
     bloom_fpp: float = 0.01
     oracle_mode: bool = False     # batch-of-1 generations → exact ZSET pop order

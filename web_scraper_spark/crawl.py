@@ -37,7 +37,12 @@ concatenation order.
 
 Scale shape per generation: one shuffle by host (admission window), one
 shuffle by url_sha1 (dedup/anti-join), Arrow-vectorized Python stages only;
-seen/pages/links appends are O(delta) via Catalog.stage_append.
+seen/pages/links appends are O(delta) via Catalog.stage_append. The
+frontier and host_state tables are rewritten per generation (anti-join +
+union, fully key-parallel); at 10^10-frontier scale the planned refinement
+is hash-partitioned copy-on-write (rewrite only the host_bucket partitions
+containing admitted/new rows — the Iceberg partition-overwrite pattern),
+which changes the commit layer only, not the operator algebra.
 """
 
 from __future__ import annotations
@@ -183,14 +188,12 @@ def run_generation(
     if cfg.oracle_mode:
         batch = sched.admit_batch(
             candidates, host_state, t0, horizon=math.inf,
-            hot_threshold=cfg.hot_host_threshold, salt=cfg.hot_host_salt,
-            max_batch=1,
+            salt=cfg.hot_host_salt, max_batch=1,
         )
     else:
         batch = sched.admit_batch(
             candidates, host_state, t0, horizon=cfg.horizon,
-            hot_threshold=cfg.hot_host_threshold, salt=cfg.hot_host_salt,
-            max_batch=budget_left,
+            salt=cfg.hot_host_salt, max_batch=budget_left,
         )
     batch = batch.cache()
 
@@ -202,12 +205,22 @@ def run_generation(
     robots_all = new_rules if robots is None else robots.unionByName(new_rules)
     robots_all = robots_all.cache()
 
+    # restrict the rules table to this batch's hosts up front: the full
+    # robots table grows with every host ever crawled and stops being
+    # broadcastable at frontier scale; the per-generation slice is bounded
+    # by hosts-in-batch (left_semi prunes it with one small shuffle). Both
+    # the crawl-delay application and the decision join only ever need
+    # this slice (delay application is an idempotent max, so re-applying
+    # on later batches is a no-op).
+    robots_batch = robots_all.join(
+        batch.select("host").distinct(), "host", "left_semi"
+    ).cache()
     host_state = sched.ensure_hosts(host_state, batch)
-    host_state = sched.apply_crawl_delays(host_state, robots_all)
+    host_state = sched.apply_crawl_delays(host_state, robots_batch)
 
     _, path_col = split_base_path_exprs(F.col("url_canon"))
     with_path = batch.withColumn("norm_path", normalize_path_expr(path_col))
-    decided = robots_ops.decide_allowed(with_path, robots_all).cache()
+    decided = robots_ops.decide_allowed(with_path, robots_batch).cache()
     allowed = decided.filter(F.col("allowed")).drop("allowed", "norm_path")
     disallowed = decided.filter(~F.col("allowed")).drop("allowed", "norm_path")
     n_disallowed = disallowed.count()

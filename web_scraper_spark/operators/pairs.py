@@ -1,0 +1,90 @@
+"""Image+caption training-pair assembly — the graft payload end-to-end.
+
+The reference stores one row per page image: (page_url, src, alt=caption,
+width, height) via store_image_data (data_store.c:121-148). The engine's
+crawl emits the same table (``page_images``); this module joins it with
+the authoritative image store (BASELINE.json input_hint schema:
+image_id, bytes, w, h, fmt, caption, phash) to assemble the training
+pairs a multimodal corpus pipeline consumes, and prunes near-duplicate
+images with the phash LSH band join (SURVEY.md §2.3 J6).
+
+Scale shape: page_images ⋈ images is an equi-join on image_id — shuffle
+hash/sort-merge, pruned to the join keys by Catalyst; the phash dedup is
+a band-bucket self-join over (band, 16-bit band value) — never O(n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.imageops import hamming_expr, phash_band_exprs
+
+
+def image_id_from_src(src):
+    """Page markup references images as /img/<image_id> (synth corpus);
+    production would map CDN URLs the same way."""
+    return F.regexp_extract(src, r"/img/(img-\d+)$", 1)
+
+
+def image_caption_pairs(page_images: DataFrame, images: DataFrame) -> DataFrame:
+    """(image_id, page_url, caption, alt, caption_matches, w, h, fmt, phash).
+
+    caption_matches is the per-row caption byte-equality invariant from the
+    input_hint contract: the alt text the crawler extracted must equal the
+    stored caption."""
+    refs = page_images.select(
+        image_id_from_src(F.col("src")).alias("image_id"),
+        "page_url",
+        "alt",
+        F.col("width").alias("ref_w"),
+        F.col("height").alias("ref_h"),
+    ).filter(F.length("image_id") > 0)
+    j = refs.join(images, "image_id")
+    return j.select(
+        "image_id",
+        "page_url",
+        "caption",
+        "alt",
+        (F.col("alt") == F.col("caption")).alias("caption_matches"),
+        (F.col("ref_w") == F.col("w")).alias("dims_match"),
+        "w",
+        "h",
+        "fmt",
+        "phash",
+    )
+
+
+def neardup_image_ids(images: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """image_ids that are near-duplicates (phash hamming <= t) of a
+    lexicographically smaller id — the drop set for training dedup.
+    LSH band equi-join (4 x 16-bit bands finds every pair with t <= 3)."""
+    ph = images.select("image_id", "phash")
+    bands = ph.select(
+        "image_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), e.alias("bv"))
+                    for i, e in enumerate(phash_band_exprs(F.col("phash")))
+                ]
+            )
+        ).alias("bb"),
+    ).select("image_id", "phash", "bb.band", "bb.bv")
+    a = bands.select(F.col("image_id").alias("keep"), F.col("phash").alias("pa"), "band", "bv")
+    b = bands.select(F.col("image_id").alias("drop"), F.col("phash").alias("pb"), "band", "bv")
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("keep") < F.col("drop"))
+        .filter(hamming_expr(F.col("pa"), F.col("pb")) <= max_hamming)
+        .select("drop")
+        .distinct()
+        .withColumnRenamed("drop", "image_id")
+    )
+
+
+def dedup_pairs(pairs: DataFrame, images: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Training pairs minus near-duplicate images (anti-join on the LSH
+    drop set) — the corpus-side twin of the URL-seen dedup."""
+    return pairs.join(neardup_image_ids(images, max_hamming), "image_id", "left_anti")

@@ -95,7 +95,7 @@ def apply_crawl_delays(host_state: DataFrame, robots: DataFrame | None) -> DataF
         .agg(F.max("crawl_delay").alias("robots_delay"))
     )
     return (
-        host_state.join(F.broadcast(delays), "host", "left")
+        host_state.join(delays, "host", "left")  # size-based strategy (see admit_batch note)
         .withColumn(
             "min_delay",
             F.when(
@@ -118,7 +118,6 @@ def admit_batch(
     host_state: DataFrame,
     t0: float,
     horizon: float,
-    hot_threshold: int = 64,
     salt: int = 8,
     max_batch: int | None = None,
 ) -> DataFrame:
@@ -154,9 +153,12 @@ def admit_batch(
     w_host = Window.partitionBy("host").orderBy(*order)
     ranked = pruned.withColumn("host_rank", F.row_number().over(w_host))
 
+    # no broadcast hint: host_state is small early in a crawl but grows with
+    # every host ever seen (10^7-10^8 at frontier scale) — let Catalyst/AQE
+    # pick broadcast vs shuffle from actual size statistics
     st = host_state.select("host", "current_delay", "last_fetch")
     slotted = (
-        ranked.join(F.broadcast(st), "host", "left")
+        ranked.join(st, "host", "left")
         .withColumn("current_delay", F.coalesce("current_delay", F.lit(MIN_DELAY)))
         .withColumn("last_fetch", F.coalesce("last_fetch", F.lit(0.0)))
         .withColumn(
