@@ -14,7 +14,7 @@ set and the phash near-dup join J6):
                     Jaccard. At 10^10 docs the band join touches only
                     colliding buckets (vs the full shingle join);
                     permutations are md5-seeded → deterministic.
-- SimHash         — 16-bit simhash over token 60-bit hashes; near-dups =
+- SimHash         — 60-bit simhash over token 60-bit hashes; near-dups =
                     hamming(simhash_a, simhash_b) <= t via bit_count(xor);
                     fully SQL-oracled (both engines have bit_count/xor).
 - embedding cosine— see simsearch.py (cosine_pairs / ann_topk).
@@ -216,11 +216,14 @@ def minhash_lsh_pairs(
 # SimHash
 # --------------------------------------------------------------------------
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 60  # fits signed BIGINT in both engines; 16 bits saturates
+                   # with birthday collisions by ~5k docs (measured: 1.7M
+                   # spurious pairs at sf0.1), 60 bits keeps the near-dup
+                   # join selective at corpus scale
 
 
 def simhash_expr(text: Column) -> Column:
-    """16-bit simhash: per token t, h = md5_60('sh|'+t); bit i of the
+    """60-bit simhash: per token t, h = md5_60('sh|'+t); bit i of the
     simhash is 1 iff sum over tokens of (2*((h>>i)&1) - 1) > 0."""
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     hashes = F.transform(toks, lambda t: md5_60_expr(F.concat(F.lit("sh|"), t)))
@@ -252,9 +255,11 @@ def simhash_pairs(
     docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance <= t, via 4-band LSH on
-    the 16-bit simhash (two hashes within hamming 3 share >= one 4-bit
+    the 60-bit simhash (two hashes within hamming 3 share >= one 15-bit
     band) then bit_count(xor) verify — the J6 phash pattern applied to text."""
     sh = docs.select(F.col(id_col).alias("id"), simhash_expr(F.col(text_col)).alias("sh"))
+    band_w = SIMHASH_BITS // 4
+    mask = (1 << band_w) - 1
     bands = sh.select(
         "id",
         "sh",
@@ -263,7 +268,7 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("sh"), b * 4).bitwiseAND(F.lit(0xF)).alias("bv"),
+                        F.shiftrightunsigned(F.col("sh"), b * band_w).bitwiseAND(F.lit(mask)).alias("bv"),
                     )
                     for b in range(4)
                 ]
