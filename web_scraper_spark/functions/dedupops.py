@@ -224,21 +224,35 @@ SIMHASH_BITS = 60  # fits signed BIGINT in both engines; 16 bits saturates
 
 def simhash_expr(text: Column) -> Column:
     """60-bit simhash: per token t, h = md5_60('sh|'+t); bit i of the
-    simhash is 1 iff sum over tokens of (2*((h>>i)&1) - 1) > 0."""
+    simhash is 1 iff sum over tokens of (2*((h>>i)&1) - 1) > 0.
+
+    Single pass: ONE md5 per token, folded into a 60-counter array with
+    nested higher-order functions (shift amounts are column-valued, so the
+    JVM builtins go through call_function — the python wrappers only accept
+    int literals). The naive per-bit formulation re-evaluates the token
+    hashing SIMHASH_BITS times (measured 60x md5 work at sf0.1)."""
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     hashes = F.transform(toks, lambda t: md5_60_expr(F.concat(F.lit("sh|"), t)))
-    bits = []
-    for i in range(SIMHASH_BITS):
-        contrib = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + (F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
-        bits.append(F.when(contrib > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("long")
+    idx = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            idx,
+            lambda a, i: a
+            + (F.call_function("shiftrightunsigned", h, i) % 2) * 2
+            - 1,
+        ),
+    )
+    weights = F.zip_with(
+        counts,
+        idx,
+        lambda c, i: F.when(
+            c > 0, F.call_function("shiftleft", F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(weights, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
 def simhash_sql(text: str) -> str:
