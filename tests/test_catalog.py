@@ -99,3 +99,35 @@ class TestTimeTravel:
         with open(path) as f:
             d = json.load(f)
         assert d["tables"]["t"]["rows"] == 2
+
+
+class TestMaintenance:
+    def test_compact_reduces_files_preserves_rows(self, spark, cat):
+        cat.stage("t", df_of(spark, 10, "a"), partitions=4)
+        s = cat.commit(generation=0, t0=0.0)
+        for g in range(1, 5):
+            cat.stage_append("t", df_of(spark, 5, f"g{g}"), partitions=2)
+            s = cat.commit(generation=g, t0=float(g))
+        n_files_before = len(s.tables["t"]["files"])
+        rows_before = sorted(map(tuple, cat.read("t").collect()))
+        cat.compact("t", partitions=2)
+        s2 = cat.commit(generation=99, t0=99.0)
+        assert len(s2.tables["t"]["files"]) < n_files_before
+        assert sorted(map(tuple, cat.read("t").collect())) == rows_before
+        # time travel to the pre-compaction snapshot still works
+        assert cat.read("t", cat.snapshot(s.snapshot_id)).count() == 30
+
+    def test_expire_snapshots_gc(self, spark, cat):
+        import os
+
+        cat.stage("t", df_of(spark, 10), partitions=2)
+        s0 = cat.commit(generation=0, t0=0.0)
+        cat.stage("t", df_of(spark, 20), partitions=2)  # overwrite → s0 orphaned
+        cat.commit(generation=1, t0=1.0)
+        stats = cat.expire_snapshots(keep_last=1)
+        assert stats["snapshots_removed"] >= 1
+        assert stats["files_removed"] >= 1
+        assert cat.read("t").count() == 20  # live data untouched
+        assert not os.path.exists(
+            os.path.join(cat._manifest_dir, f"s{s0.snapshot_id:06d}.json")
+        )

@@ -169,3 +169,23 @@ class TestResume:
         ra = sorted(map(tuple, fa.collect())) if fa is not None else []
         rb = sorted(map(tuple, fb.collect())) if fb is not None else []
         assert ra == rb
+
+
+class TestCompaction:
+    def test_compacted_crawl_state_identical(self, spark, tmp_path_factory):
+        """compact_every=2 must change file layout only, never results."""
+        web = SynthWebConfig(n_hosts=3, pages_per_host=8)
+        base = dict(max_pages=15, max_depth=2, horizon=5.0, num_shards=8)
+
+        cat_a = run_crawl(
+            spark, str(tmp_path_factory.mktemp("nc")), _seeds_df(spark, web),
+            CrawlConfig(**base, compact_every=0), web, max_generations=25,
+        )
+        cat_b = run_crawl(
+            spark, str(tmp_path_factory.mktemp("cc")), _seeds_df(spark, web),
+            CrawlConfig(**base, compact_every=2), web, max_generations=25,
+        )
+        assert engine_state(cat_a) == engine_state(cat_b)
+        files_a = sum(len(e["files"]) for e in cat_a.current_snapshot().tables.values())
+        files_b = sum(len(e["files"]) for e in cat_b.current_snapshot().tables.values())
+        assert files_b < files_a

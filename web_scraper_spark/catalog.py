@@ -198,3 +198,67 @@ class Catalog:
 
     def abort(self) -> None:
         self._staged = {}
+
+    # ------------------------------------------------------------- maintenance
+    def compact(self, table: str, partitions: int | None = None) -> dict:
+        """Stage a rewritten single version of `table` (caller commits).
+
+        Append-only tables (seen/pages/links) accrete one small delta dir
+        per generation; at 10^10-URL scale that is death by file listing.
+        Compaction rewrites the live rows into one right-sized version —
+        the Iceberg rewrite_data_files analog. Old files stay until
+        expire_snapshots removes the snapshots referencing them, so
+        time-travel and concurrent readers are unaffected.
+        """
+        df = self.read(table)
+        if df is None:
+            raise ValueError(f"no such table in current snapshot: {table}")
+        return self.stage(table, df, partitions=partitions)
+
+    def expire_snapshots(self, keep_last: int = 5) -> dict:
+        """Delete manifests older than the last `keep_last` snapshots and
+        any data files no kept snapshot references. Returns counts."""
+        import shutil
+
+        cur = self.current_snapshot()
+        if cur is None:
+            return {"snapshots_removed": 0, "files_removed": 0}
+        manifests = sorted(
+            f for f in os.listdir(self._manifest_dir)
+            if f.startswith("s") and f.endswith(".json")
+        )
+        keep = set(manifests[-keep_last:])
+        keep.add(f"s{cur.snapshot_id:06d}.json")  # never drop CURRENT
+        live_files: set[str] = set()
+        for name in keep:
+            path = os.path.join(self._manifest_dir, name)
+            if not os.path.exists(path):
+                continue
+            with open(path) as f:
+                snap = Snapshot.from_json(f.read())
+            for t, entry in snap.tables.items():
+                for fi in entry["files"]:
+                    live_files.add(os.path.join(t, fi["path"]))
+        removed_snaps = 0
+        for name in manifests:
+            if name not in keep:
+                os.remove(os.path.join(self._manifest_dir, name))
+                removed_snaps += 1
+        removed_files = 0
+        for t in os.listdir(self.root):
+            tdir = os.path.join(self.root, t)
+            if t == "_manifests" or not os.path.isdir(tdir):
+                continue
+            for vdir in os.listdir(tdir):
+                vpath = os.path.join(tdir, vdir)
+                if not os.path.isdir(vpath):
+                    continue
+                rel_files = {
+                    os.path.join(t, vdir, fn)
+                    for fn in os.listdir(vpath)
+                    if fn.endswith(".parquet")
+                }
+                if rel_files and rel_files.isdisjoint(live_files):
+                    removed_files += len(rel_files)
+                    shutil.rmtree(vpath)
+        return {"snapshots_removed": removed_snaps, "files_removed": removed_files}

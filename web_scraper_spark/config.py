@@ -50,5 +50,6 @@ class CrawlConfig:
     hot_host_salt: int = 8        # number of salt sub-shards for hot hosts
     bloom_fpp: float = 0.01
     oracle_mode: bool = False     # batch-of-1 generations → exact ZSET pop order
+    compact_every: int = 64       # generations between append-table compactions
 
     extra_spark_conf: dict = field(default_factory=dict)

@@ -346,15 +346,34 @@ def run_generation(
         pages_new.agg(F.coalesce(F.sum("content_size"), F.lit(0))).collect()[0][0]
     )
 
-    # -------- 9. atomic snapshot
+    # -------- 9. atomic snapshot. Every cfg.compact_every generations the
+    # append-only tables are rewritten in-commit (small-file compaction —
+    # the Iceberg rewrite_data_files analog) instead of appended.
+    compact_now = cfg.compact_every and (g + 1) % cfg.compact_every == 0
+
+    def _append(table, delta, dedup_cols=None):
+        if compact_now:
+            old = cat.read(table, snap)
+            full = delta if old is None else old.unionByName(delta)
+            if dedup_cols:
+                # global PK dedup on rewrite (links ON CONFLICT DO NOTHING
+                # analog, data_store.c:151-165 — re-crawled pages under
+                # force_rescrape can rediscover the same edge)
+                full = full.dropDuplicates(dedup_cols)
+            cat.stage(table, full)
+        else:
+            cat.stage_append(table, delta, snap)
+
     cat.stage("frontier", frontier_next)
-    cat.stage_append("seen", seen_next_delta, snap)
+    _append("seen", seen_next_delta)
     cat.stage("seen_sketch", sketch_next)
-    cat.stage("robots", robots_all) if robots is None else cat.stage_append("robots", new_rules, snap)
+    cat.stage("robots", robots_all) if robots is None else _append("robots", new_rules)
     cat.stage("host_state", host_state_next)
-    cat.stage_append("pages", pages_new, snap)
-    cat.stage_append(
-        "links", links_new.select("from_url", "to_url").dropDuplicates(), snap
+    _append("pages", pages_new)
+    _append(
+        "links",
+        links_new.select("from_url", "to_url").dropDuplicates(),
+        dedup_cols=["from_url", "to_url"],
     )
     page_images_new = analyzed.select(
         F.col("url_canon").alias("page_url"), F.explode_outer("images").alias("img")
@@ -365,7 +384,7 @@ def run_generation(
         F.col("img.width").alias("width"),
         F.col("img.height").alias("height"),
     ).filter(F.col("src").isNotNull())
-    cat.stage_append("page_images", page_images_new, snap)
+    _append("page_images", page_images_new)
 
     if cfg.oracle_mode:
         # time advances to the single fetch's slot (the C sleeps to it)
