@@ -143,3 +143,29 @@ def test_kernel_never_crashes_and_star_rule_dominates(rule, path):
     assert isinstance(r, bool)
     if rule == "*":
         assert r is True
+
+
+class TestTtlRefresh:
+    """T4: EXISTS gate + 24h EXPIRE analog (robots_parser.c:191-199,282-283)."""
+
+    def test_hosts_needing_robots(self, spark):
+        from web_scraper_spark.operators.robots import hosts_needing_robots, rules_from_corpus
+
+        corpus = spark.createDataFrame(
+            [("h0.test", "Disallow: /x\n"), ("h1.test", "")], ["host", "body"]
+        )
+        robots = rules_from_corpus(corpus, fetched_at=0)
+        batch = spark.createDataFrame([("h0.test",), ("h1.test",), ("h2.test",)], ["host"])
+
+        # fresh cache: only the never-fetched host needs a fetch; note h1's
+        # empty body still counts as cached via its 'none' sentinel row
+        need = {r["host"] for r in hosts_needing_robots(batch, robots, now=100).collect()}
+        assert need == {"h2.test"}
+
+        # expired cache (> 24h): everything needs a refetch
+        need = {r["host"] for r in hosts_needing_robots(batch, robots, now=86_401).collect()}
+        assert need == {"h0.test", "h1.test", "h2.test"}
+
+        # no robots table at all
+        need = {r["host"] for r in hosts_needing_robots(batch, None, now=0).collect()}
+        assert need == {"h0.test", "h1.test", "h2.test"}
