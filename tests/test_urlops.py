@@ -110,3 +110,63 @@ class TestNativeExprs:
             shard_expr(F.sha1(F.col("u")), 32).alias("s")
         ).agg(F.min("s"), F.max("s"), F.countDistinct("s")).collect()[0]
         assert out[0] >= 0 and out[1] < 32 and out[2] > 16  # well spread
+
+
+class TestNativeCanonicalizeParity:
+    """canonicalize_expr (JVM hot path) must equal canonicalize_series
+    (the executable spec shared with the oracle simulator) row-for-row."""
+
+    HREFS = [
+        None, "", "#top", "#a#b",
+        "javascript:void(0)", "mailto:a@b.c", "javascript:", "mailto:",
+        "http://x.test/p", "http://x.test/p/", "https://X.test:8080/Q?a=1#f",
+        "http://x.test", "https://x.test/",
+        "//other.test/q", "//other.test", "/abs", "/abs/", "/a/b/c",
+        "?q=1", "?", "rel.html", "rel/", "./here", "../up", "../../up2",
+        "a/./b", "a/../b", "./.", "..", ".", "a/b/../../c", "x/../../y",
+        "p?q=2#frag", "./q#f", "spaces in href", "trailing//", "//",
+    ]
+    BASES = [
+        "http://h1.example.test/a/b/page.html",
+        "http://h1.example.test/",
+        "http://h1.example.test",
+        "https://h2.test:99/deep/1/2/3?x=9#frag",
+    ]
+
+    def test_parity_on_corpus(self, spark):
+        import pandas as pd
+        from web_scraper_spark.functions.urlops import (
+            canonicalize_expr,
+            canonicalize_series,
+        )
+
+        rows = [(b, h) for b in self.BASES for h in self.HREFS]
+        df = spark.createDataFrame(rows, ["base", "href"])
+        got = [
+            r["c"]
+            for r in df.select(
+                canonicalize_expr(F.col("base"), F.col("href")).alias("c")
+            ).collect()
+        ]
+        want_s = canonicalize_series(
+            pd.Series([b for b, _ in rows]), pd.Series([h for _, h in rows])
+        )
+        want = [None if pd.isna(x) else str(x) for x in want_s]
+        for (b, h), g, w in zip(rows, got, want):
+            assert g == w, (b, h, g, w)
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.text(alphabet="ab/.?#:", min_size=0, max_size=18))
+    def test_parity_property(self, spark, href):
+        import pandas as pd
+        from web_scraper_spark.functions.urlops import (
+            canonicalize_expr,
+            canonicalize_series,
+        )
+
+        base = "http://h1.example.test/a/b/page.html"
+        df = spark.createDataFrame([(base, href)], ["base", "href"])
+        g = df.select(canonicalize_expr(F.col("base"), F.col("href")).alias("c")).collect()[0]["c"]
+        w = canonicalize_series(pd.Series([base]), pd.Series([href])).iloc[0]
+        w = None if pd.isna(w) else str(w)
+        assert g == w, (href, g, w)

@@ -116,9 +116,74 @@ def canonicalize_udf(base: pd.Series, href: pd.Series) -> pd.Series:
     return canonicalize_series(base, href).astype(object).where(lambda s: s.notna(), None)
 
 
+# Dot-segment removal regexes (RFC 3986 §5.2.4 over the path part only).
+# Java regex (lookahead/lookbehind supported); $1 replacement syntax.
+_DOT_SELF = r"(://[^/]*(?:/[^/]*)*?)/\.(?=/|$)"
+_DOT_PARENT = r"(://[^/]*(?:/[^/]*)*?)/(?!\.\.(?:/|$))[^/]+/\.\.(?=/|$)"
+_DOT_ROUNDS = 16  # matches the pandas kernel's bounded fixpoint
+
+
+def canonicalize_expr(base: Column, href: Column) -> Column:
+    """normalize_url as pure JVM column expressions (whole-stage codegen).
+
+    Semantics identical to ``canonicalize_series`` (the pandas kernel is
+    the executable spec, shared with the oracle simulator; parity is
+    pinned by tests/test_urlops.py). The kernel's python string ops were
+    measured as the crawl pipeline's scaling bottleneck (pandas StringDtype
+    is object-backed → allocator/GC contention across python workers), so
+    the hot path stays JVM-side."""
+    empty_or_junk = (
+        href.isNull()
+        | (F.length(href) == 0)
+        | href.startswith("javascript:")
+        | href.startswith("mailto:")
+    )
+    # fragment strip BEFORE the absolute check (extract_hrefs.c:36-39)
+    h = F.substring_index(href, "#", 1)
+    absolute = h.startswith("http://") | h.startswith("https://")
+
+    b = F.substring_index(base, "#", 1)
+    scheme = F.regexp_extract(b, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    root = F.regexp_extract(b, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1)
+    bpath = F.substring_index(
+        F.regexp_replace(b, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", ""), "?", 1
+    )
+    basedir = F.regexp_replace(bpath, r"[^/]*$", "")
+    basedir = F.when(F.length(basedir) > 0, basedir).otherwise(F.lit("/"))
+
+    resolved = (
+        F.when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(root, h))
+        .when(h.startswith("?"), F.concat(root, bpath, h))
+        .when(F.length(h) == 0, b)  # fragment-only href → the base itself
+        .otherwise(F.concat(root, basedir, h))
+    )
+    # dot-segment removal only when a dot segment can exist: "/." is a
+    # cheap contains probe, and the 16-round lookahead-regex fixpoint is
+    # ~10x the cost of the whole rest of the expression — virtually all
+    # real links skip it (when() branches evaluate lazily in codegen)
+    dotted = resolved
+    for _ in range(_DOT_ROUNDS):
+        dotted = F.regexp_replace(dotted, _DOT_SELF, "$1")
+        dotted = F.regexp_replace(dotted, _DOT_PARENT, "$1")
+    resolved = F.when(resolved.contains("/."), dotted).otherwise(resolved)
+    # strip ONE trailing slash when len > 1 (extract_hrefs.c:68-71)
+    resolved = F.when(
+        resolved.endswith("/") & (F.length(resolved) > 1),
+        resolved.substr(F.lit(1), F.length(resolved) - 1),
+    ).otherwise(resolved)
+
+    return (
+        F.when(empty_or_junk, F.lit(None).cast("string"))
+        .when(absolute, h)  # absolute returned verbatim (trailing slash kept)
+        .otherwise(resolved)
+    )
+
+
 def canonicalize(base: Column, href: Column) -> Column:
-    """url_canon column; null for dropped (javascript:/mailto:/empty) hrefs."""
-    return canonicalize_udf(base, href)
+    """url_canon column; null for dropped (javascript:/mailto:/empty) hrefs.
+    JVM-native; ``canonicalize_udf`` is the Arrow-vectorized fallback/spec."""
+    return canonicalize_expr(base, href)
 
 
 # --------------------------------------------------------------------------
