@@ -111,9 +111,11 @@ def bench_crawl_fetch_extract(spark, n: int | None = None):
         textops.title_udf("content").alias("title"),
         F.explode(textops.links_udf("content")).alias("href"),
     )
-    out = links.select(
+    from web_scraper_spark.functions.urlops import junk_href
+
+    out = links.filter(~junk_href(F.col("href"))).select(
         sha1_expr(canonicalize(F.col("url_canon"), F.col("href"))).alias("sha1")
-    ).filter(F.col("sha1").isNotNull())
+    )
     return out.count()
 
 

@@ -278,9 +278,11 @@ def run_generation(
         F.col("depth").alias("parent_depth"),
         F.explode_outer("links").alias("href"),
     )
+    from .functions.urlops import junk_href
+
     links_new = (
-        exploded.withColumn("to_url", canonicalize(F.col("parent_url"), F.col("href")))
-        .filter(F.col("to_url").isNotNull())
+        exploded.filter(~junk_href(F.col("href")))  # pre-filter: see junk_href
+        .withColumn("to_url", canonicalize(F.col("parent_url"), F.col("href")))
         .select(F.col("parent_url").alias("from_url"), "to_url", "parent_depth")
     ).cache()
 

@@ -94,7 +94,7 @@ def canonicalize_series(base: pd.Series, href: pd.Series) -> pd.Series:
 
         # dot-segment removal (RFC 3986 §5.2.4), applied to the path part only;
         # bounded vectorized fixpoint — depth of ../ chains is tiny in practice
-        for _ in range(16):
+        for _ in range(DOT_ROUNDS):
             before = resolved
             resolved = resolved.str.replace(r"(://[^/]*(?:/[^/]*)*?)/\.(?=/|$)", r"\1", regex=True)
             resolved = resolved.str.replace(
@@ -120,7 +120,13 @@ def canonicalize_udf(base: pd.Series, href: pd.Series) -> pd.Series:
 # Java regex (lookahead/lookbehind supported); $1 replacement syntax.
 _DOT_SELF = r"(://[^/]*(?:/[^/]*)*?)/\.(?=/|$)"
 _DOT_PARENT = r"(://[^/]*(?:/[^/]*)*?)/(?!\.\.(?:/|$))[^/]+/\.\.(?=/|$)"
-_DOT_ROUNDS = 16  # matches the pandas kernel's bounded fixpoint
+# Bounded dot-segment fixpoint, SHARED by the native expr and the pandas
+# kernel so they stay bit-identical: ../-chains deeper than this leave a
+# residual (never seen in practice). Kept small because Catalyst INLINES
+# the whole resolution CASE-tree into every nesting level — each extra
+# round multiplies the expression size (measured: 16 rounds → plan-text
+# blowup + JIT-hostile codegen that anti-scaled at 32 cores).
+DOT_ROUNDS = 4
 
 
 def canonicalize_expr(base: Column, href: Column) -> Column:
@@ -163,7 +169,7 @@ def canonicalize_expr(base: Column, href: Column) -> Column:
     # ~10x the cost of the whole rest of the expression — virtually all
     # real links skip it (when() branches evaluate lazily in codegen)
     dotted = resolved
-    for _ in range(_DOT_ROUNDS):
+    for _ in range(DOT_ROUNDS):
         dotted = F.regexp_replace(dotted, _DOT_SELF, "$1")
         dotted = F.regexp_replace(dotted, _DOT_PARENT, "$1")
     resolved = F.when(resolved.contains("/."), dotted).otherwise(resolved)
@@ -184,6 +190,20 @@ def canonicalize(base: Column, href: Column) -> Column:
     """url_canon column; null for dropped (javascript:/mailto:/empty) hrefs.
     JVM-native; ``canonicalize_udf`` is the Arrow-vectorized fallback/spec."""
     return canonicalize_expr(base, href)
+
+
+def junk_href(href: Column) -> Column:
+    """True for hrefs canonicalize maps to null (empty/javascript:/mailto:).
+
+    Filter on THIS (cheap, href-only) instead of `canonicalize(...).isNotNull()`:
+    a null-filter on the canonical column gets pushed down as a duplicate of
+    the entire resolution expression — one giant evaluation per row per use."""
+    return (
+        href.isNull()
+        | (F.length(href) == 0)
+        | href.startswith("javascript:")
+        | href.startswith("mailto:")
+    )
 
 
 # --------------------------------------------------------------------------
