@@ -189,3 +189,38 @@ class TestCompaction:
         files_a = sum(len(e["files"]) for e in cat_a.current_snapshot().tables.values())
         files_b = sum(len(e["files"]) for e in cat_b.current_snapshot().tables.values())
         assert files_b < files_a
+
+
+class TestStressEquivalence:
+    """All semantic paths at once: AIMD error/slow/fast branches, transport
+    failures, robots crawl-delays, disallowed slots, hot-host salting and
+    the politeness window — engine must still match the simulator exactly."""
+
+    def test_combined_config(self, spark, tmp_path_factory):
+        # pages_per_host >= 18 so /private/17 exists — disallowed on even
+        # hosts (synth robots: Disallow /private*, Allow only /private/7)
+        web = SynthWebConfig(
+            n_hosts=6, pages_per_host=20, error_rate=0.1, fail_rate=0.1,
+            hot_host_share=0.4,
+        )
+        cfg = CrawlConfig(
+            max_pages=60, max_depth=3, horizon=4.0, num_shards=8, hot_host_salt=4,
+        )
+        root = str(tmp_path_factory.mktemp("stress_crawl"))
+        cat = run_crawl(spark, root, _seeds_df(spark, web), cfg, web, max_generations=60)
+        sim = simulate(_seed_list(web), cfg, web)
+
+        order, seen, hs, m = engine_state(cat)
+        assert [u for u, _, _ in order] == [u for _, u, _, _ in sim.crawl_order]
+        assert seen == sim.seen
+        sim_hs = {
+            h: (round(s.min_delay, 9), round(s.current_delay, 9), round(s.last_fetch, 9), s.errors)
+            for h, s in sim.host_state.items()
+        }
+        assert hs == sim_hs
+        for k in ("urls_processed", "urls_skipped", "urls_disallowed",
+                  "bytes_downloaded", "urls_failed"):
+            assert m.get(k, 0) == sim.metrics[k], k
+        # the stress fixture must actually exercise every path
+        assert m["urls_disallowed"] > 0 and m["urls_failed"] > 0
+        assert any(s.current_delay != 1.0 for s in sim.host_state.values())
