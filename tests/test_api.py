@@ -52,6 +52,26 @@ class TestTrendingTopics:
         assert freqs == sorted(freqs, reverse=True)
 
 
+    def test_growth_invariant_under_partitioning(self, spark, crawled):
+        """growth_rate must come from the NEWEST generation regardless of
+        physical partitioning (regression: F.last was order-nondeterministic
+        after a shuffle; now max_by on gen)."""
+        cat, _, _ = crawled
+        base = {r["topic"]: (r["frequency"], r["growth_rate"]) for r in api.trending_topics(cat, k=20).collect()}
+        for parts in (1, 8):
+            pages = cat.read("pages").repartition(parts)
+
+            class _FakeCat:
+                def read(self, t):
+                    return pages if t == "pages" else None
+
+            got = {
+                r["topic"]: (r["frequency"], r["growth_rate"])
+                for r in api.trending_topics(_FakeCat(), k=20).collect()
+            }
+            assert got == base, f"parts={parts}"
+
+
 class TestClearUrl:
     def test_invalidate_then_unseen(self, spark, crawled):
         cat, web, cfg = crawled
@@ -65,6 +85,13 @@ class TestClearUrl:
         seen = {r["url_sha1"] for r in cat.read("seen").collect()}
         assert sha1_hex(url) not in seen
         assert cat.read("pages").filter(F.col("url") == url).count() == 0
+        # commit after clear_url must NOT drop the untouched tables from the
+        # snapshot (regression: only staged tables get published)
+        before = set(cat.snapshot(snap.parent_id).tables)
+        assert set(snap.tables) == before
+        for t in ("frontier", "robots", "host_state", "seen_sketch", "links"):
+            if t in before:
+                assert t in snap.tables, t
 
 
 class TestFetchFailures:

@@ -64,6 +64,14 @@ def test_robots_decision_is_broadcast(spark):
     out = decide_allowed(fr, robots)
     assert audit.broadcast_joins(out) >= 1
     assert not audit.has_cartesian(out)
+    # the decision must add ZERO shuffles of the frontier: the only hash
+    # exchange allowed is the tiny rules-side per-host aggregation (single
+    # `host` key), and no single-partition exchange may appear at all
+    hashes = audit.hash_exchanges(out)
+    assert len(hashes) <= 1, hashes
+    for args in hashes:
+        assert "," not in args and "host" in args, hashes  # host-only key
+    assert audit.single_partition_exchanges(out) == 0
 
 
 def test_no_cartesian_in_any_query(spark):

@@ -66,10 +66,22 @@ def trending_topics(cat: Catalog, k: int = 10) -> DataFrame:
     )
     w = Window.partitionBy("topic").orderBy("gen")
     g = per_gen.withColumn("prev", F.lag("cnt").over(w))
-    latest = g.groupBy("topic").agg(
-        F.sum("cnt").alias("frequency"),
-        F.last("cnt").alias("_last"),
-        F.last("prev").alias("_prev"),
+    # max_by on gen, NOT F.last: last() is order-nondeterministic after a
+    # shuffle — it must be the newest generation's row by construction.
+    # The struct wrapper keeps the (possibly null) prev tied to its row:
+    # max_by with a bare null value argument would skip that row entirely.
+    latest = (
+        g.groupBy("topic")
+        .agg(
+            F.sum("cnt").alias("frequency"),
+            F.max_by(F.struct("cnt", "prev"), "gen").alias("_newest"),
+        )
+        .select(
+            "topic",
+            "frequency",
+            F.col("_newest.cnt").alias("_last"),
+            F.col("_newest.prev").alias("_prev"),
+        )
     )
     wr = Window.orderBy(F.desc("frequency"), F.col("topic"))
     return (
@@ -100,4 +112,12 @@ def clear_url(cat: Catalog, url: str, num_shards: int) -> dict:
     pages = cat.read("pages")
     if pages is not None:
         out["pages"] = cat.stage("pages", pages.filter(F.col("url") != url))
+    # Catalog.commit publishes ONLY staged tables — every other table must
+    # be carried forward explicitly or the commit would silently drop
+    # frontier/robots/host_state/sketches/links from the new snapshot
+    snap = cat.current_snapshot()
+    if snap is not None:
+        for t in snap.tables:
+            if t not in out:
+                cat.stage_keep(t, snap)
     return out

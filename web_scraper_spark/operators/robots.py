@@ -30,8 +30,10 @@ Decision (is_crawl_allowed, robots_parser.c:378-439):
 - unknown host / no rules / path normalize failure ⇒ allowed.
 
 Spark shape: the per-host rules table is tiny relative to the frontier, so
-the decision is a **broadcast** join on host followed by conditional
-aggregation — no shuffle of the frontier (SURVEY.md §2.3 J2). The matcher
+the rules collapse to one (allow_patterns, deny_patterns) array row per
+host, that table **broadcasts**, and the decision is an `F.exists`
+higher-order predicate inside the join projection — zero shuffle and zero
+aggregation of the frontier (SURVEY.md §2.3 J2; plan-audited). The matcher
 is pure JVM column expressions (whole-stage codegen; no Python).
 """
 
@@ -40,7 +42,7 @@ from __future__ import annotations
 import re
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -220,44 +222,77 @@ def rule_match_expr(path: Column, rule: Column) -> Column:
     )
 
 
+def latest_rules(robots: DataFrame) -> DataFrame:
+    """Restrict the append-only robots table to each host's most recent
+    fetch (overwrite-on-refetch semantics, robots_parser.c:282-283: the C
+    DELETEs then re-SETs the host key). Without this filter, stale rules
+    from expired fetches would keep applying forever as the table accretes
+    per-generation appends. The window runs over the rules table only —
+    small (one row per rule), never over the frontier."""
+    w = Window.partitionBy("host")
+    return (
+        robots.withColumn("_maxf", F.max("fetched_at").over(w))
+        .filter(F.col("fetched_at") == F.col("_maxf"))
+        .drop("_maxf")
+    )
+
+
+def host_rule_arrays(robots: DataFrame) -> DataFrame:
+    """Collapse the (latest-fetch) rules table to ONE row per host:
+    (host, allow_patterns:array, deny_patterns:array).
+
+    This is the broadcastable form of the decision input: the aggregation
+    shuffles only the tiny rules table, never the frontier. Arrays are
+    sorted (the decision is order-insensitive — any allow match wins — so
+    sorting is purely for deterministic plans/results)."""
+    return (
+        latest_rules(robots)
+        .groupBy("host")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("rule_type") == "allow", F.col("path_pattern"))
+                )
+            ).alias("allow_patterns"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("rule_type") == "disallow", F.col("path_pattern"))
+                )
+            ).alias("deny_patterns"),
+        )
+    )
+
+
 def decide_allowed(
     frontier: DataFrame,
     robots: DataFrame | None,
     path_col: str = "norm_path",
-    key_cols: tuple[str, ...] = ("url_canon",),
 ) -> DataFrame:
     """Attach ``allowed:boolean`` to frontier rows via broadcast rule join.
 
     frontier must carry `host` and a normalize_path'd `path_col` (null ⇒
     allow-by-default, mirroring CHECK_NULL → return 1). Rows keep all
     original columns.
-    """
+
+    Shape: the per-host rules collapse to two pattern arrays
+    (host_rule_arrays), that one-row-per-host table broadcasts, and the
+    decision evaluates as `F.exists(patterns, p -> match(path, p))` inside
+    the broadcast-join projection — the frontier is never shuffled and no
+    aggregation runs over frontier rows (plan-audited in test_plans)."""
     if robots is None:
         return frontier.withColumn("allowed", F.lit(True))
-    rules = robots.filter(F.col("rule_type").isin("allow", "disallow")).select(
-        F.col("host").alias("r_host"), "rule_type", "path_pattern"
+    rules = host_rule_arrays(robots)
+    j = frontier.join(F.broadcast(rules), "host", "left")
+    path = F.col(path_col)
+    allow_any = F.coalesce(
+        F.exists("allow_patterns", lambda p: rule_match_expr(path, p)), F.lit(False)
     )
-    j = frontier.join(
-        F.broadcast(rules), frontier["host"] == F.col("r_host"), "left"
+    deny_any = F.coalesce(
+        F.exists("deny_patterns", lambda p: rule_match_expr(path, p)), F.lit(False)
     )
-    m = rule_match_expr(F.col(path_col), F.col("path_pattern"))
-    agg = (
-        j.groupBy(*[frontier[c] for c in frontier.columns])
-        .agg(
-            F.max(
-                F.when((F.col("rule_type") == "allow") & m, 1).otherwise(0)
-            ).alias("_allow_any"),
-            F.max(
-                F.when((F.col("rule_type") == "disallow") & m, 1).otherwise(0)
-            ).alias("_deny_any"),
-        )
-    )
-    return agg.withColumn(
-        "allowed",
-        F.col(path_col).isNull()
-        | (F.col("_allow_any") == 1)
-        | (F.col("_deny_any") == 0),
-    ).drop("_allow_any", "_deny_any")
+    return j.withColumn(
+        "allowed", path.isNull() | allow_any | ~deny_any
+    ).drop("allow_patterns", "deny_patterns")
 
 
 def hosts_needing_robots(

@@ -89,8 +89,13 @@ def apply_crawl_delays(host_state: DataFrame, robots: DataFrame | None) -> DataF
     min_delay = max(crawl_delay, 1.0); current = max(current, min)."""
     if robots is None:
         return host_state
+    from .robots import latest_rules
+
+    # latest fetch per host only: a refreshed robots.txt OVERWRITES the old
+    # delay (robots_parser.c re-SETs the host key), it doesn't max with it
     delays = (
-        robots.filter(F.col("crawl_delay").isNotNull())
+        latest_rules(robots)
+        .filter(F.col("crawl_delay").isNotNull())
         .groupBy("host")
         .agg(F.max("crawl_delay").alias("robots_delay"))
     )

@@ -60,6 +60,27 @@ def broadcast_joins(df: DataFrame) -> int:
     return count_op(df, "BroadcastHashJoin")
 
 
+def hash_exchanges(df: DataFrame) -> list[str]:
+    """Argument lists of every `Exchange hashpartitioning(...)` in the plan.
+    Lets tests assert exactly WHICH keys get shuffled (e.g. the robots
+    decision may shuffle the tiny rules table by host but never the
+    frontier by its row columns)."""
+    return re.findall(r"Exchange hashpartitioning\(([^)]*?), \d+\)", physical_plan(df))
+
+
+def single_partition_exchanges(df: DataFrame) -> int:
+    """Count of `Exchange SinglePartition` nodes — each is a potential
+    all-rows-in-one-task bottleneck (unpartitioned Window / global limit).
+    Scale-safe plans keep this at 0 on data-scale streams (a single-
+    partition exchange over a tiny aggregate, e.g. a ≤num_ranges-row count
+    table, is acceptable — see rangepartitioning audit below)."""
+    return physical_plan(df).count("Exchange SinglePartition")
+
+
+def range_exchanges(df: DataFrame) -> int:
+    return physical_plan(df).count("Exchange rangepartitioning")
+
+
 def codegen_stages(df: DataFrame) -> int:
     """Distinct whole-stage-codegen spans in the EXECUTED plan. Forces
     execution first: under AQE the codegen markers (`*(n)`) only exist in
