@@ -284,6 +284,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # ---------------- dedup family
+    def q_meta_pairs(spark, sf_dir):
+        """P9 general meta key/value extraction (extract_meta.c:8-60): every
+        name=/property= + content pair, incl. OpenGraph, over deliberately
+        MESSY markup (uppercase tags, reversed attr order, unquoted and
+        single-quoted values, a commented-out decoy) synthesized
+        deterministically from the documents table — so DuckDB can emit the
+        expected pairs literally and the robust kernel is SQL-oracled."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from web_scraper_spark.functions import htmlparse
+
+        docs = _docs(spark, sf_dir)
+        clean = F.regexp_replace(F.substring(F.col("text"), 1, 80), "[<>\"'&]", "")
+        html = F.concat(
+            F.lit('<html><head><META content="C_'),
+            clean,
+            F.lit('" name=description><meta property=og:id content='),
+            F.col("doc_id").cast("string"),
+            F.lit("><meta name='keywords' content='"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("'><meta name=nocontent></head><body>"),
+            F.lit('<!-- <meta name="decoy" content="no"> --></body></html>'),
+        )
+        schema = T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("key", T.StringType()),
+                    T.StructField("value", T.StringType()),
+                ]
+            )
+        )
+
+        meta_udf = F.pandas_udf(
+            lambda h: h.map(
+                lambda s: [
+                    {"key": k, "value": v}
+                    for k, v in htmlparse.parse_document(s)["meta"]
+                ]
+            ),
+            schema,
+        )
+
+        return docs.select("doc_id", F.explode(meta_udf(html)).alias("m")).select(
+            "doc_id",
+            F.col("m.key").alias("meta_key"),
+            F.col("m.value").alias("meta_value"),
+        )
+
+    q["meta_pairs"] = q_meta_pairs
+
     def q_exact_dup_groups(spark, sf_dir):
         """Exact dedup with injected duplicates (ids +100000 are copies of
         the 10 smallest doc_ids) — groups found by fingerprint groupBy."""
@@ -420,19 +471,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         web = synth.SynthWebConfig(n_hosts=3, pages_per_host=6)
         cfg = CrawlConfig(max_pages=10, max_depth=2, horizon=5.0, num_shards=8)
         root = tempfile.mkdtemp(prefix="wss_smoke_", dir="/tmp")
+        crawl_dir = os.path.join(root, "cat")
+        out_dir = os.path.join(root, "result")
         try:
             seeds = spark.createDataFrame(
                 [(r["url"], r["priority"]) for r in synth.seed_url_rows(web)],
                 ["url", "priority"],
             )
-            cat = run_crawl(spark, root, seeds, cfg, web, max_generations=12)
+            cat = run_crawl(spark, crawl_dir, seeds, cfg, web, max_generations=12)
             pages = cat.read("pages").select(
                 "url", "host", "status", "crawl_rank", "depth", "title", "sentiment"
             )
-            rows = pages.collect()
-            return spark.createDataFrame(rows, pages.schema)
-        finally:
+            # persist the result OUTSIDE the crawl dir and re-read — no
+            # driver collect round-trip, stays a distributed scan; the
+            # result dir outlives the catalog tmpdir cleanup below
+            pages.write.mode("overwrite").parquet(out_dir)
+            shutil.rmtree(crawl_dir, ignore_errors=True)
+            return spark.read.parquet(out_dir)
+        except BaseException:
             shutil.rmtree(root, ignore_errors=True)
+            raise
 
     q["crawl_smoke"] = q_crawl_smoke
 
@@ -596,6 +654,19 @@ def oracle_sql() -> dict[str, str]:
     o["token_count"] = f"SELECT doc_id, {ta.token_count_sql('text')} AS n_tokens FROM documents"
     o["quality_score"] = f"SELECT doc_id, {ta.quality_score_sql('text')} AS quality FROM documents"
     o["fingerprint"] = f"SELECT doc_id, {ta.fingerprint_sql('text')} AS fp FROM documents"
+
+    o["meta_pairs"] = """
+      WITH c AS (
+        SELECT doc_id,
+               regexp_replace(substr(text, 1, 80), '[<>"''&]', '', 'g') AS clean
+        FROM documents
+      )
+      SELECT doc_id, 'description' AS meta_key, 'C_' || clean AS meta_value FROM c
+      UNION ALL
+      SELECT doc_id, 'og:id', CAST(doc_id AS VARCHAR) FROM c
+      UNION ALL
+      SELECT doc_id, 'keywords', CAST(doc_id % 7 AS VARCHAR) FROM c
+    """
 
     fp = ta.fingerprint_sql("text")  # exact_dup_groups uses md5-60 of raw text
     from web_scraper_spark.functions.textanalysis import md5_60_sql

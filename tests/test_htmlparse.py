@@ -1,0 +1,92 @@
+"""Messy-markup extraction parity: the robust kernels must eat the broken
+HTML shapes real crawls hit (reference analog: libxml2 HTML-recover mode,
+extract_hrefs.c:87-95) while agreeing with the strict kernels on
+well-formed markup."""
+
+import pandas as pd
+
+from web_scraper_spark.functions import htmlparse, textops
+
+MESSY = """
+<HTML><head>
+  <TITLE class=big>  Messy &amp; Proud </TITLE>
+  <meta content="rev order desc" name="description">
+  <meta name='keywords' content='a,b , c'>
+  <meta property="og:title" content="OG Title">
+  <meta property='og:image' content=http://img.example/x.png>
+  <meta name="empty">
+  <base target=_blank href='http://base.example/dir/'>
+</head><body>
+  <!-- <a href="http://commented.example/">nope</a> -->
+  <script>var s = "<a href='http://js.example/'>";</script>
+  <style>a { background: url("http://css.example/x") }</style>
+  <a
+     class="x"
+     HREF='http://single.example/q?a=1'>one</a>
+  <a href=http://unquoted.example/path>two</a>
+  <a data-href="http://decoy.example/" href="http://double.example/">three</a>
+  <a href="http://dup.example/first" href="http://dup.example/second">dup</a>
+  <a name="anchor-only">no link</a>
+  <IMG alt='pic one' src=http://img.example/a.png width=40 height="30">
+  <img src="http://img.example/b.png" height=bogus>
+</body></html>
+"""
+
+
+def test_parse_document_messy():
+    d = htmlparse.parse_document(MESSY)
+    assert d["title"] == "  Messy &amp; Proud "  # title text NOT attr-unescaped (text node handled elsewhere)
+    assert d["description"] == "rev order desc"
+    assert d["keywords"] == "a,b , c"
+    assert ("og:title", "OG Title") in d["meta"]
+    assert ("og:image", "http://img.example/x.png") in d["meta"]
+    assert all(k != "empty" for k, _ in d["meta"])  # no content= → skipped
+    assert d["base"] == "http://base.example/dir/"
+    assert d["links"] == [
+        "http://single.example/q?a=1",
+        "http://unquoted.example/path",
+        "http://double.example/",
+        "http://dup.example/first",  # first occurrence of href wins
+    ]
+    assert d["images"] == [
+        {"src": "http://img.example/a.png", "alt": "pic one", "width": 40, "height": 30},
+        {"src": "http://img.example/b.png", "alt": None, "width": None, "height": None},
+    ]
+
+
+def test_entity_unescape_in_attrs():
+    d = htmlparse.parse_document('<a href="http://e.example/?a=1&amp;b=2">x</a>')
+    assert d["links"] == ["http://e.example/?a=1&b=2"]
+
+
+def test_empty_and_none():
+    assert htmlparse.parse_document(None)["links"] == []
+    assert htmlparse.parse_document("")["title"] is None
+
+
+def test_wellformed_agrees_with_strict_kernels():
+    """On the synthetic corpus's well-formed shape, robust == strict."""
+    html = (
+        '<html><head><title>T1</title>'
+        '<meta name="description" content="D1">'
+        '<meta name="keywords" content="k1,k2">'
+        '</head><body>'
+        '<a href="http://h.example/a">A</a><a href="http://h.example/b">B</a>'
+        '<img src="http://h.example/i.png" alt="i" width="10" height="20">'
+        "</body></html>"
+    )
+    s = pd.Series([html])
+    d = htmlparse.parse_document(html)
+    assert d["title"] == textops.extract_title_series(s).iloc[0]
+    assert d["description"] == textops.extract_desc_series(s).iloc[0]
+    assert d["keywords"] == textops.extract_keywords_series(s).iloc[0]
+    assert d["links"] == textops.extract_links_series(s).iloc[0]
+    assert d["images"] == textops.extract_images_series(s).iloc[0]
+
+
+def test_series_wrapper_handles_bytes():
+    out = htmlparse.parse_document_series(
+        pd.Series([b"<a href='http://b.example/'>x</a>", None])
+    )
+    assert out.iloc[0]["links"] == ["http://b.example/"]
+    assert out.iloc[1]["links"] == []

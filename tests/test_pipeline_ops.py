@@ -103,8 +103,97 @@ class TestDedup:
         }
         assert approx <= exact
 
+    def test_minhash_band_params_still_subset(self, docs):
+        """Re-banded minhash (16 bands × 2 rows) stays ⊆ exact — the slim
+        band join + re-attached shingles must not alter verify semantics."""
+        exact = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedupops.ngram_jaccard_pairs(docs, threshold=0.12, n=8).collect()
+        }
+        approx = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedupops.minhash_lsh_pairs(
+                docs, threshold=0.12, n=8, perms=32, bands=16
+            ).collect()
+        }
+        assert approx <= exact
 
-class TestSimilarity:
+    def test_simhash_band_parametrizations_identical(self, docs):
+        """The pigeonhole guarantee makes every n_bands > max_hamming
+        parametrization EXACT: outputs must be identical, not similar."""
+        base = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in dedupops.simhash_pairs(docs, max_hamming=3, n_bands=4).collect()
+        }
+        for nb in (5, 6):
+            got = {
+                (r["doc_a"], r["doc_b"], r["hamming"])
+                for r in dedupops.simhash_pairs(docs, max_hamming=3, n_bands=nb).collect()
+            }
+            assert got == base, nb
+
+    def test_lsh_candidate_growth_subquadratic(self, spark):
+        """Scale evidence for the band-width knob: on a corpus of unique
+        docs plus small near-dup clusters, band-join candidate volume must
+        stay near-linear in n (all-pairs would be n²/2), and wider bands
+        (fewer, for a lower hamming budget) must produce no more candidates
+        than narrow ones."""
+        import random
+
+        rng = random.Random(0)
+        vocab = [f"w{i}" for i in range(500)]
+
+        def corpus(n):
+            rows = [
+                (i, " ".join(rng.choice(vocab) for _ in range(20))) for i in range(n)
+            ]
+            # 3 clusters of 5 near-identical docs
+            for c in range(3):
+                stem = " ".join(rng.choice(vocab) for _ in range(20))
+                for j in range(5):
+                    rows.append((n + c * 5 + j, stem + f" extra{j}"))
+            return spark.createDataFrame(rows, ["doc_id", "text"])
+
+        def candidates(df, n_bands):
+            sh = df.select(
+                F.col("doc_id").alias("id"),
+                dedupops.simhash_expr(F.col("text")).alias("sh"),
+            )
+            w = dedupops.SIMHASH_BITS // n_bands
+            mask = (1 << w) - 1
+            bands = sh.select(
+                "id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("band"),
+                                F.shiftrightunsigned(F.col("sh"), b * w)
+                                .bitwiseAND(F.lit(mask))
+                                .alias("bv"),
+                            )
+                            for b in range(n_bands)
+                        ]
+                    )
+                ).alias("bb"),
+            ).select("id", "bb.band", "bb.bv")
+            a = bands.select(F.col("id").alias("a"), "band", "bv")
+            b = bands.select(F.col("id").alias("b"), "band", "bv")
+            return (
+                a.join(b, ["band", "bv"])
+                .filter(F.col("a") < F.col("b"))
+                .select("a", "b")
+                .distinct()
+                .count()
+            )
+
+        for n in (1000, 2000):
+            df = corpus(n).cache()
+            c4 = candidates(df, 4)   # 15-bit buckets
+            c3 = candidates(df, 3)   # 20-bit buckets (hamming budget <= 2)
+            assert c3 <= c4
+            assert c4 < 5 * n, (n, c4)  # near-linear, nowhere near n²/2
+            df.unpersist()
     def test_cosine_matches_duckdb(self, emb, ddb):
         a = emb.limit(1).select(F.col("embedding").alias("q_vec")).collect()[0]["q_vec"]
         df = emb.select(

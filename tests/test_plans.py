@@ -93,6 +93,52 @@ def test_codegen_covers_native_pipeline(spark):
     assert audit.codegen_stages(df2) >= 1
 
 
+def test_global_rank_two_phase_exact_and_scalable(spark):
+    """with_global_rank == the single-window row_number (exact), while the
+    plan replaces the data-scale Exchange SinglePartition with a range
+    repartition; the only single-partition node left feeds off the tiny
+    per-partition count aggregate."""
+    import random
+
+    from pyspark.sql import Window
+    from web_scraper_spark.operators.scheduler import with_global_rank
+
+    rng = random.Random(7)
+    rows = [(f"u{i:05d}", rng.randint(0, 5)) for i in range(5000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, ["url_canon", "priority"]).repartition(16)
+    order = [F.col("priority").asc(), F.col("url_canon").asc()]
+    got = with_global_rank(df, ["priority", "url_canon"], "rk")
+    exact = df.withColumn("rk", F.row_number().over(Window.orderBy(*order)))
+    assert got.exceptAll(exact).count() == 0 and exact.exceptAll(got).count() == 0
+    assert audit.range_exchanges(got) >= 1
+    assert audit.single_partition_exchanges(got) <= 1  # offsets table only
+
+
+def test_budget_cut_has_no_global_window_over_data(spark):
+    """max_batch admission must not funnel the admitted stream through one
+    task: range partitioning appears, and at most the tiny offset-table
+    single-partition exchange remains."""
+    from web_scraper_spark.operators.scheduler import admit_batch
+
+    fr = entrymod._events_frontier(spark, SF).withColumnRenamed("host_id", "host")
+    state = spark.createDataFrame(
+        [], "host string, min_delay double, current_delay double, last_fetch double, consecutive_errors int"
+    )
+    no_budget = admit_batch(fr, state, t0=0.0, horizon=5.0, salt=8).count()
+    # small budget → distributed TakeOrderedAndProject (per-partition top-K)
+    small = admit_batch(fr, state, t0=0.0, horizon=5.0, salt=8, max_batch=50)
+    assert no_budget > 50  # the budget actually cuts
+    assert "TakeOrderedAndProject" in audit.physical_plan(small)
+    assert audit.single_partition_exchanges(small) == 0
+    assert small.count() == 50
+    # large budget → two-phase exact global rank (range repartition)
+    big = admit_batch(fr, state, t0=0.0, horizon=5.0, salt=8, max_batch=20_000)
+    assert audit.range_exchanges(big) >= 1
+    assert audit.single_partition_exchanges(big) <= 1
+    assert big.count() == no_budget
+
+
 def test_admission_partial_rank_bounds_skew(spark):
     """The salted two-stage top-K must appear as TWO window stages (salted
     partial + exact), so no single task ranks a whole hot host."""

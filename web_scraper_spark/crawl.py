@@ -184,16 +184,17 @@ def run_generation(
         return GenerationResult(g, 0, n_skipped, 0, 0, True)
 
     # -------- 2. politeness admission
+    persists: list = []  # with_global_rank slim caches; unpersisted at exit
     budget_left = (cfg.max_pages - total_processed) if cfg.max_pages else None
     if cfg.oracle_mode:
         batch = sched.admit_batch(
             candidates, host_state, t0, horizon=math.inf,
-            salt=cfg.hot_host_salt, max_batch=1,
+            salt=cfg.hot_host_salt, max_batch=1, registry=persists,
         )
     else:
         batch = sched.admit_batch(
             candidates, host_state, t0, horizon=cfg.horizon,
-            salt=cfg.hot_host_salt, max_batch=budget_left,
+            salt=cfg.hot_host_salt, max_batch=budget_left, registry=persists,
         )
     batch = batch.cache()
 
@@ -245,12 +246,23 @@ def run_generation(
         .cache()
     )
 
-    # crawl_rank: per-generation (priority, url_canon) order, globally cumulative
-    from pyspark.sql import Window
+    # crawl_rank: per-generation (priority, url_canon) order, globally
+    # cumulative. Batched mode uses the exact two-phase global rank — no
+    # single-partition window over the batch (scheduler.with_global_rank);
+    # oracle mode fetches ≤1 row per generation by construction, where the
+    # plain window is free and the two-phase machinery would add ~2 shuffles
+    # × hundreds of batch-of-1 generations.
+    if cfg.oracle_mode:
+        from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("priority").asc(), F.col("url_canon").asc())
-    pages_new = analyzed.withColumn(
-        "crawl_rank", F.row_number().over(w) + F.lit(rank_next) - 1
+        w1 = Window.orderBy(F.col("priority").asc(), F.col("url_canon").asc())
+        ranked_pages = analyzed.withColumn("crawl_rank", F.row_number().over(w1))
+    else:
+        ranked_pages = sched.with_global_rank(
+            analyzed, ["priority", "url_canon"], "crawl_rank", registry=persists
+        )
+    pages_new = ranked_pages.withColumn(
+        "crawl_rank", F.col("crawl_rank") + F.lit(rank_next) - 1
     ).select(
         F.col("url_canon").alias("url"),
         "url_sha1",
@@ -406,7 +418,7 @@ def run_generation(
 
     fr_next = cat.read("frontier")
     n_frontier_next = fr_next.count() if fr_next is not None else 0
-    for df in (frontier, candidates, batch, robots_all, fetched_all, fetched, analyzed, decided, links_new):
+    for df in (frontier, candidates, batch, robots_all, fetched_all, fetched, analyzed, decided, links_new, *persists):
         df.unpersist()
     done = n_frontier_next == 0 or (
         cfg.max_pages and metrics["urls_processed"] >= cfg.max_pages

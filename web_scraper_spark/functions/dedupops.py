@@ -148,11 +148,11 @@ def _perm_hash_expr(g: Column, p: int) -> Column:
     return md5_60_expr(F.concat(F.lit(f"mh{p}|"), g))
 
 
-def minhash_signature_expr(sh: Column) -> Column:
-    """array<long> of MINHASH_PERMS min-hashes over a shingle array."""
+def minhash_signature_expr(sh: Column, perms: int = MINHASH_PERMS) -> Column:
+    """array<long> of `perms` min-hashes over a shingle array."""
     sigs = [
         F.array_min(F.transform(sh, lambda g: _perm_hash_expr(g, p)))
-        for p in range(MINHASH_PERMS)
+        for p in range(perms)
     ]
     return F.array(*sigs)
 
@@ -163,23 +163,36 @@ def minhash_lsh_pairs(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
     Scale path of ngram_jaccard_pairs: the equi-join key is (band_id,
-    band_hash) — a doc pair is joined only if one of LSH_BANDS band
+    band_hash) — a doc pair is joined only if one of `bands` band
     signatures collides, instead of once per shared shingle. Output =
     candidates that truly have jaccard >= threshold (false positives
     verified away; with 8 bands × 4 rows recall at J>=0.5 is ~1-(1-0.5^4)^8
     ≈ 0.94 — the accepted approximation, documented in the entry).
+
+    Shuffle shape: only (id, n_sh, band, bh) flows through the band explode
+    and the self-join — the shingle arrays (the largest column by far, and
+    previously duplicated bands× into the shuffle) are re-attached by id
+    AFTER candidate dedup, so the heavy payload moves exactly once per
+    surviving candidate side. band/rows-per-band are parameters: at 10^9+
+    docs, more/narrower bands keep recall while wider band hashes keep each
+    bucket's fan-out sub-quadratic (see test_pipeline_ops growth test).
     """
-    sh = docs.select(
+    assert perms % bands == 0, "perms must divide evenly into bands"
+    base = docs.select(
         F.col(id_col).alias("id"), shingles_expr(F.col(text_col), n).alias("sh")
-    ).withColumn("n_sh", F.size("sh")).withColumn("sig", minhash_signature_expr(F.col("sh")))
-    rows_per_band = MINHASH_PERMS // LSH_BANDS
-    bands = sh.select(
+    ).withColumn("n_sh", F.size("sh"))
+    sig = base.select(
+        "id", "n_sh", minhash_signature_expr(F.col("sh"), perms).alias("sig")
+    )
+    rows_per_band = perms // bands
+    banded = sig.select(
         "id",
-        "sh",
         "n_sh",
         F.explode(
             F.array(
@@ -188,20 +201,26 @@ def minhash_lsh_pairs(
                         F.lit(b).alias("band"),
                         F.hash(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("bh"),
                     )
-                    for b in range(LSH_BANDS)
+                    for b in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", "n_sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a = bands.select(F.col("id").alias("doc_a"), F.col("sh").alias("sha"), F.col("n_sh").alias("na"), "band", "bh")
-    b = bands.select(F.col("id").alias("doc_b"), F.col("sh").alias("shb"), F.col("n_sh").alias("nb"), "band", "bh")
+    ).select("id", "n_sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.select(F.col("id").alias("doc_a"), F.col("n_sh").alias("na"), "band", "bh")
+    b = banded.select(F.col("id").alias("doc_b"), F.col("n_sh").alias("nb"), "band", "bh")
     cand = (
         a.join(b, ["band", "bh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sha", "shb", "na", "nb")
+        .select("doc_a", "doc_b", "na", "nb")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    inter = cand.withColumn("common", F.size(F.array_intersect("sha", "shb")))
+    sh_a = base.select(F.col("id").alias("doc_a"), F.col("sh").alias("sha"))
+    sh_b = base.select(F.col("id").alias("doc_b"), F.col("sh").alias("shb"))
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("sha", "shb")))
+    )
     return (
         inter.withColumn(
             "jaccard",
@@ -266,13 +285,27 @@ def simhash_sql(text: str) -> str:
 
 
 def simhash_pairs(
-    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance <= t, via 4-band LSH on
-    the 60-bit simhash (two hashes within hamming 3 share >= one 15-bit
-    band) then bit_count(xor) verify — the J6 phash pattern applied to text."""
+    """Near-dup pairs by simhash hamming distance <= t, via n-band LSH on
+    the 60-bit simhash (pigeonhole: two hashes within hamming < n_bands
+    share >= one band) then bit_count(xor) verify — the J6 phash pattern
+    applied to text.
+
+    n_bands trades bucket width for recall budget: 4×15-bit bands give 32k
+    buckets per band (saturates with ~n²/32k fan-out at 10^9+ docs); with
+    max_hamming <= 2, 3×20-bit bands give 1M buckets. The pigeonhole
+    guarantee requires max_hamming < n_bands — asserted, so every
+    parametrization stays EXACT (identical output to the all-pairs SQL
+    oracle), never approximate."""
+    assert max_hamming < n_bands, "pigeonhole guarantee needs n_bands > max_hamming"
+    assert SIMHASH_BITS % n_bands == 0, f"n_bands must divide {SIMHASH_BITS}"
     sh = docs.select(F.col(id_col).alias("id"), simhash_expr(F.col(text_col)).alias("sh"))
-    band_w = SIMHASH_BITS // 4
+    band_w = SIMHASH_BITS // n_bands
     mask = (1 << band_w) - 1
     bands = sh.select(
         "id",
@@ -284,7 +317,7 @@ def simhash_pairs(
                         F.lit(b).alias("band"),
                         F.shiftrightunsigned(F.col("sh"), b * band_w).bitwiseAND(F.lit(mask)).alias("bv"),
                     )
-                    for b in range(4)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bb"),

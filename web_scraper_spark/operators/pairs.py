@@ -55,10 +55,18 @@ def image_caption_pairs(page_images: DataFrame, images: DataFrame) -> DataFrame:
     )
 
 
-def neardup_image_ids(images: DataFrame, max_hamming: int = 3) -> DataFrame:
+def neardup_image_ids(
+    images: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
     """image_ids that are near-duplicates (phash hamming <= t) of a
     lexicographically smaller id — the drop set for training dedup.
-    LSH band equi-join (4 x 16-bit bands finds every pair with t <= 3)."""
+    LSH band equi-join; the pigeonhole guarantee (any pair within hamming
+    t < n_bands shares a band) keeps every parametrization exact. More,
+    narrower bands ⇒ more candidate fan-out per bucket; fewer, wider bands
+    ⇒ more buckets (64/n_bands bits each) and sub-quadratic growth at
+    10^9+ images — tune n_bands to corpus size, t stays the contract."""
+    assert max_hamming < n_bands, "pigeonhole guarantee needs n_bands > max_hamming"
+    assert 64 % n_bands == 0, "n_bands must divide 64"
     ph = images.select("image_id", "phash")
     bands = ph.select(
         "image_id",
@@ -67,7 +75,7 @@ def neardup_image_ids(images: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.array(
                 *[
                     F.struct(F.lit(i).alias("band"), e.alias("bv"))
-                    for i, e in enumerate(phash_band_exprs(F.col("phash")))
+                    for i, e in enumerate(phash_band_exprs(F.col("phash"), n_bands))
                 ]
             )
         ).alias("bb"),

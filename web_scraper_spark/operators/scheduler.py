@@ -114,6 +114,79 @@ def apply_crawl_delays(host_state: DataFrame, robots: DataFrame | None) -> DataF
 
 
 # --------------------------------------------------------------------------
+# exact global ranking without a single-partition window
+# --------------------------------------------------------------------------
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "global_rank",
+    key_cols: tuple[str, ...] = ("url_canon",),
+    num_ranges: int | None = None,
+    registry: list | None = None,
+) -> DataFrame:
+    """Exact global row_number over ascending `order_cols` — never one task.
+
+    A partitionBy-less ``Window.orderBy`` funnels every row through ONE
+    task (Exchange SinglePartition) — fine at batch scale, fatal when the
+    admitted set hits 10^7+ rows. Instead:
+
+      1. project a slim (order_cols + key_cols) view and range-repartition
+         it by the order keys (parallel sampled sort — each output
+         partition holds a contiguous, disjoint key range);
+      2. row_number within each range partition (parallel windows);
+      3. global rank = local rank + sum of earlier partitions' row counts
+         (the offset table is ≤ num_ranges rows, broadcast back);
+      4. join ranks back onto the full rows by `key_cols`.
+
+    The slim view is **persisted**: the rank window and the count aggregate
+    must observe the SAME physical partitioning, and two independently
+    planned range exchanges would each sample boundaries with their own
+    RDD-id-derived seed (column pruning makes the subtrees non-identical,
+    defeating exchange reuse). One InMemoryRelation ⇒ one RDD lineage ⇒
+    consistent spark_partition_id across both consumers. The cached slice
+    is key columns only (~tens of bytes/row). Callers that loop pass
+    `registry` and unpersist after their action.
+
+    (order_cols + key_cols) must be a strict total order / unique key so
+    the result is uniquely determined by the data — independent of
+    partitioning, sampling and scheduling, which keeps resume
+    byte-identical. The only single-partition work left is the offset
+    cumulative-sum over the tiny per-partition count table.
+    """
+    from pyspark import StorageLevel
+
+    if num_ranges is None:
+        num_ranges = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    order = [F.col(c).asc() for c in order_cols]
+    slim_cols = list(dict.fromkeys([*order_cols, *key_cols]))
+    slim = (
+        df.select(*slim_cols)
+        .repartitionByRange(num_ranges, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if registry is not None:
+        registry.append(slim)
+    w_local = Window.partitionBy("_pid").orderBy(*order)
+    local = slim.withColumn("_lrn", F.row_number().over(w_local))
+    cnts = slim.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = cnts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+    ).select("_pid", "_off")
+    ranks = (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn(rank_col, (F.col("_off") + F.col("_lrn")).cast("int"))
+        .select(*key_cols, rank_col)
+    )
+    return df.join(ranks, list(key_cols))
+
+
+# --------------------------------------------------------------------------
 # admission (pure DataFrame; salted two-stage top-K for hot hosts)
 # --------------------------------------------------------------------------
 
@@ -125,6 +198,7 @@ def admit_batch(
     horizon: float,
     salt: int = 8,
     max_batch: int | None = None,
+    registry: list | None = None,
 ) -> DataFrame:
     """Select + slot this generation's fetch batch.
 
@@ -179,13 +253,23 @@ def admit_batch(
     )
     if max_batch is not None:
         # global budget (ring-buffer bound analog, scraper.c:22): keep the
-        # globally first max_batch rows by (priority, url) — stable order
-        w_all = Window.orderBy(*order)
-        slotted = (
-            slotted.withColumn("_grn", F.row_number().over(w_all))
-            .filter(F.col("_grn") <= max_batch)
-            .drop("_grn")
-        )
+        # globally first max_batch rows by (priority, url) — stable order,
+        # and never a partitionBy-less Window over the batch:
+        # - small budgets (≤ the topK sort fallback threshold) compile to
+        #   TakeOrderedAndProject — per-partition top-K merged on the
+        #   driver, exact and distributed;
+        # - large budgets go through the two-phase exact global rank.
+        # Both produce the same unique top-B set (the order is strict).
+        if max_batch <= 10_000:
+            slotted = slotted.orderBy(*order).limit(max_batch)
+        else:
+            slotted = (
+                with_global_rank(
+                    slotted, ["priority", "url_canon"], "_grn", registry=registry
+                )
+                .filter(F.col("_grn") <= max_batch)
+                .drop("_grn")
+            )
     return slotted
 
 

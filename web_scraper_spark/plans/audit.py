@@ -65,7 +65,8 @@ def hash_exchanges(df: DataFrame) -> list[str]:
     Lets tests assert exactly WHICH keys get shuffled (e.g. the robots
     decision may shuffle the tiny rules table by host but never the
     frontier by its row columns)."""
-    return re.findall(r"Exchange hashpartitioning\(([^)]*?), \d+\)", physical_plan(df))
+    # formatted mode prints exchange specs as `Arguments: hashpartitioning(...)`
+    return re.findall(r"hashpartitioning\(([^)]*?), \d+\)", physical_plan(df))
 
 
 def single_partition_exchanges(df: DataFrame) -> int:
@@ -74,11 +75,11 @@ def single_partition_exchanges(df: DataFrame) -> int:
     Scale-safe plans keep this at 0 on data-scale streams (a single-
     partition exchange over a tiny aggregate, e.g. a ≤num_ranges-row count
     table, is acceptable — see rangepartitioning audit below)."""
-    return physical_plan(df).count("Exchange SinglePartition")
+    return physical_plan(df).count("SinglePartition")
 
 
 def range_exchanges(df: DataFrame) -> int:
-    return physical_plan(df).count("Exchange rangepartitioning")
+    return physical_plan(df).count("rangepartitioning(")
 
 
 def codegen_stages(df: DataFrame) -> int:
