@@ -256,7 +256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .withColumn("url_sha1", F.sha1(F.col("key").cast("string")))
             .withColumn("shard", shard_expr(F.col("url_sha1"), 16))
         )
-        sk = seen_ops.collect_sketches(seen_ops.build_sketches(seen, capacity=4096))
+        sk = seen_ops.build_sketches(seen, capacity=4096)
         out = seen_ops.filter_unseen(cand, seen, sk)
         return out.select("key")
 

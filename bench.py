@@ -131,7 +131,7 @@ def bench_seen_sketch_dedup(spark):
         .select(F.sha1(F.col("id").cast("string")).alias("url_sha1"))
         .withColumn("shard", shard_expr(F.col("url_sha1"), shards))
     )
-    sk = seen_ops.collect_sketches(seen_ops.build_sketches(seen, capacity=1 << 14))
+    sk = seen_ops.build_sketches(seen, capacity=1 << 14)
     cand = (
         spark.range(0, n_cand, 1, CPUS)
         .select(F.sha1(F.col("id").cast("string")).alias("url_sha1"))

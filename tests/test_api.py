@@ -94,6 +94,22 @@ class TestClearUrl:
                 assert t in snap.tables, t
 
 
+class TestShardPinning:
+    def test_resume_rejects_num_shards_change(self, spark, crawled):
+        """num_shards is pinned in the snapshot metadata: resuming with a
+        different value would desync sketch shard ids ('missing shard' ⇒
+        'certainly unseen') and re-crawl seen URLs."""
+        from web_scraper_spark.crawl import run_generation
+
+        cat, web, cfg = crawled
+        assert cat.current_snapshot().metrics.get("num_shards") == cfg.num_shards
+        bad = CrawlConfig(
+            max_pages=12, max_depth=2, horizon=6.0, num_shards=cfg.num_shards * 2
+        )
+        with pytest.raises(ValueError, match="num_shards"):
+            run_generation(cat, bad, web)
+
+
 class TestFetchFailures:
     def test_failed_fetch_not_marked_seen_and_matches_sim(self, spark, tmp_path_factory):
         web = SynthWebConfig(n_hosts=3, pages_per_host=8, fail_rate=0.2)

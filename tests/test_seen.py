@@ -33,13 +33,13 @@ def test_append_and_exact_membership(spark, urls):
 def test_filter_unseen_matches_pure_antijoin(spark, urls):
     half = urls.filter("pmod(crc32(url), 2) = 0")
     seen = seen_ops.append_seen(None, half.select("url_sha1", "shard"), NUM_SHARDS)
-    sketches = seen_ops.collect_sketches(
-        seen_ops.build_sketches(seen, capacity=1024)
-    )
-    assert set(sketches) == {r["shard"] for r in seen.select("shard").distinct().collect()}
+    sk_df = seen_ops.build_sketches(seen, capacity=1024)
+    assert {r["shard"] for r in sk_df.select("shard").collect()} == {
+        r["shard"] for r in seen.select("shard").distinct().collect()
+    }
 
     got = {
-        r["url"] for r in seen_ops.filter_unseen(urls, seen, sketches).collect()
+        r["url"] for r in seen_ops.filter_unseen(urls, seen, sk_df).collect()
     }
     want = {
         r["url"] for r in urls.join(seen.select("url_sha1"), "url_sha1", "left_anti").collect()
@@ -52,9 +52,9 @@ def test_incremental_sketch_update_equals_rebuild(spark, urls):
     a = urls.filter("pmod(crc32(url), 3) = 0")
     b = urls.filter("pmod(crc32(url), 3) = 1")
     seen_a = seen_ops.append_seen(None, a.select("url_sha1", "shard"), NUM_SHARDS)
-    sk_a = seen_ops.collect_sketches(seen_ops.build_sketches(seen_a, capacity=1024))
-    sk_ab = seen_ops.collect_sketches(
-        seen_ops.update_sketches(spark, sk_a, b.select("url_sha1", "shard"), NUM_SHARDS, capacity=1024)
+    sk_a = seen_ops.build_sketches(seen_a, capacity=1024)
+    sk_ab = seen_ops.update_sketches(
+        spark, sk_a, b.select("url_sha1", "shard"), NUM_SHARDS, capacity=1024
     )
     seen_ab = seen_ops.append_seen(seen_a, b.select("url_sha1", "shard"), NUM_SHARDS)
     # the incremental sketches must still answer dedup exactly
@@ -69,18 +69,16 @@ def test_incremental_sketch_update_equals_rebuild(spark, urls):
 def test_delete_supports_force_rescrape(spark, urls):
     sub = urls.limit(50)
     seen = seen_ops.append_seen(None, sub.select("url_sha1", "shard"), NUM_SHARDS)
-    sk = seen_ops.collect_sketches(seen_ops.build_sketches(seen, capacity=1024))
+    sk = seen_ops.build_sketches(seen, capacity=1024)
     victim = sub.limit(10)
     seen2 = seen_ops.delete_seen(seen, victim)
-    sk2 = seen_ops.collect_sketches(
-        seen_ops.update_sketches(
-            spark,
-            sk,
-            spark.createDataFrame([], "url_sha1 string, shard int"),
-            NUM_SHARDS,
-            capacity=1024,
-            deletes=victim.select("url_sha1", "shard"),
-        )
+    sk2 = seen_ops.update_sketches(
+        spark,
+        sk,
+        spark.createDataFrame([], "url_sha1 string, shard int"),
+        NUM_SHARDS,
+        capacity=1024,
+        deletes=victim.select("url_sha1", "shard"),
     )
     # deleted urls must come back as unseen (exactness preserved)
     got = {r["url"] for r in seen_ops.filter_unseen(urls, seen2, sk2).collect()}

@@ -136,6 +136,10 @@ def init_crawl(
     cat.commit(generation=0, t0=0.0, metrics={
         "urls_processed": 0, "urls_skipped": 0, "urls_disallowed": 0,
         "bytes_downloaded": 0, "crawl_rank_next": 0,
+        # sharding parameters are part of the persisted state contract:
+        # resume asserts num_shards so sketch shard ids can't silently
+        # desync (bloom_fpp is informational — sketches embed their params)
+        "num_shards": cfg.num_shards, "bloom_fpp": cfg.bloom_fpp,
     })
     return cat
 
@@ -153,6 +157,16 @@ def run_generation(
     total_processed = int(snap.metrics.get("urls_processed", 0))
     rank_next = int(snap.metrics.get("crawl_rank_next", 0))
 
+    # num_shards determines shard ids inside the persisted seen/sketch
+    # tables: resuming with a different value would silently desync the
+    # sketch probe from the data (missing-shard ⇒ "certainly unseen")
+    stored_shards = snap.metrics.get("num_shards")
+    if stored_shards is not None and int(stored_shards) != cfg.num_shards:
+        raise ValueError(
+            f"snapshot was written with num_shards={stored_shards}; "
+            f"resume requires the same value (got {cfg.num_shards})"
+        )
+
     frontier = cat.read("frontier")
     if frontier is None or not frontier.head(1):
         return GenerationResult(g, 0, 0, 0, 0, True)
@@ -160,7 +174,6 @@ def run_generation(
     sketch_df = cat.read("seen_sketch")
     robots = cat.read("robots")
     host_state = cat.read("host_state") or sched.default_host_state(spark)
-    sketches = seen_ops.collect_sketches(sketch_df)
 
     frontier = frontier.cache()
 
@@ -170,7 +183,7 @@ def run_generation(
         candidates = frontier
         n_frontier = n_candidates = frontier.count()
     else:
-        candidates = seen_ops.filter_unseen(frontier, seen, sketches).cache()
+        candidates = seen_ops.filter_unseen(frontier, seen, sketch_df).cache()
         n_frontier = frontier.count()
         n_candidates = candidates.count()
     n_skipped = n_frontier - n_candidates
@@ -311,7 +324,7 @@ def run_generation(
     )
     new_frontier_rows = _with_identity(new_frontier_rows, cfg.num_shards)
     # seen-gate at push time (extract_hrefs.c:139-143) — against PRE-batch seen
-    new_frontier_rows = seen_ops.filter_unseen(new_frontier_rows, seen, sketches)
+    new_frontier_rows = seen_ops.filter_unseen(new_frontier_rows, seen, sketch_df)
 
     # frontier' = (frontier ∖ admitted ∖ skipped) ∪ new, ZADD-upsert dedup
     leftover = candidates.join(batch.select("url_sha1"), "url_sha1", "left_anti")
@@ -340,7 +353,7 @@ def run_generation(
     )
     seen_next_delta = batch_keys.dropDuplicates(["url_sha1"])
     sketch_next = seen_ops.update_sketches(
-        spark, sketches, seen_next_delta, cfg.num_shards,
+        spark, sketch_df, seen_next_delta, cfg.num_shards,
         capacity=seen_ops.DEFAULT_SHARD_CAPACITY, fpp=cfg.bloom_fpp,
     )
 
@@ -413,6 +426,8 @@ def run_generation(
         "bytes_downloaded": int(snap.metrics.get("bytes_downloaded", 0)) + int(bytes_dl),
         "urls_failed": int(snap.metrics.get("urls_failed", 0)) + n_failed,
         "crawl_rank_next": rank_next + n_fetched,
+        "num_shards": cfg.num_shards,
+        "bloom_fpp": cfg.bloom_fpp,
     }
     cat.commit(generation=g + 1, t0=t_next, metrics=metrics)
 

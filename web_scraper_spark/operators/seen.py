@@ -29,8 +29,6 @@ exact join; a bloom miss is a proof of absence (no false negatives).
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,8 +46,11 @@ DEFAULT_SHARD_CAPACITY = 1 << 17  # keys per shard before sketch rebuild
 
 
 def collect_sketches(sketch_df: DataFrame | None) -> dict[int, tuple[bytes, bytes, int]]:
-    """Sketch table → {shard: (bloom_bytes, cuckoo_bytes, n)}. Small: one
-    row per shard (32 locally, ~4096 at cluster scale)."""
+    """Sketch table → {shard: (bloom_bytes, cuckoo_bytes, n)}. TEST/DEBUG
+    helper only — the engine probes and folds sketches executor-side via
+    shard cogroups (tag_maybe_seen / update_sketches), never collecting
+    them: at 10^10-key scale the sketch table is >10 GB and a per-generation
+    driver collect + rebroadcast would dominate the commit."""
     if sketch_df is None:
         return {}
     return {
@@ -71,34 +72,24 @@ def empty_sketch(capacity: int, fpp: float) -> tuple[bytes, bytes, int]:
 # --------------------------------------------------------------------------
 
 
-def tag_maybe_seen(
-    candidates: DataFrame, sketches: dict[int, tuple[bytes, bytes, int]]
-) -> DataFrame:
-    """Add ``maybe_seen:boolean`` from the broadcast bloom sketches.
+def tag_maybe_seen(candidates: DataFrame, sketch_df: DataFrame | None) -> DataFrame:
+    """Add ``maybe_seen:boolean`` by probing the sketch TABLE executor-side.
 
     False ⇒ certainly NOT in the seen set (bloom has no false negatives);
-    True ⇒ must be verified by the exact anti-join. Missing shard sketch ⇒
-    conservative True only if the shard has data; empty catalog ⇒ False.
-    """
-    spark = candidates.sparkSession
-    if not sketches:
-        return candidates.withColumn("maybe_seen", F.lit(False))
-    bc = spark.sparkContext.broadcast({s: v[0] for s, v in sketches.items()})
+    True ⇒ must be verified by the exact anti-join. Shard with no sketch
+    row ⇒ shard never written ⇒ False (shard ids are a stable function of
+    the sha1 and num_shards is pinned in the snapshot metadata, so a
+    missing row really means empty).
 
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        blooms: dict[int, Bloom] = {}
-        for pdf in batches:
-            out = pd.Series(True, index=pdf.index)
-            for shard, grp in pdf.groupby("shard"):
-                raw = bc.value.get(int(shard))
-                if raw is None:
-                    out.loc[grp.index] = False  # shard never written → empty
-                    continue
-                b = blooms.setdefault(int(shard), Bloom.from_bytes(raw))
-                out.loc[grp.index] = b.contains_many(grp["url_sha1"].to_numpy())
-            pdf = pdf.copy()
-            pdf["maybe_seen"] = out
-            yield pdf
+    Shape: shard-cogrouped applyInPandas — each task loads ONE shard's
+    bloom (a few MB) next to that shard's candidate slice. The sketches
+    never leave the executors; nothing is collected or rebroadcast per
+    generation (the round-1 driver collect was >10 GB at 10^10 keys). The
+    candidate shuffle is by `shard`, the same key family the seen table is
+    bucketed by.
+    """
+    if sketch_df is None:
+        return candidates.withColumn("maybe_seen", F.lit(False))
 
     # build a fresh StructType — StructType.add would mutate the DataFrame's
     # cached schema object and desync it from the JVM plan
@@ -107,25 +98,40 @@ def tag_maybe_seen(
     out_schema = T.StructType(
         list(candidates.schema.fields) + [T.StructField("maybe_seen", T.BooleanType(), False)]
     )
-    return candidates.mapInPandas(probe, schema=out_schema)
+    cols = [f.name for f in candidates.schema.fields]
+
+    def probe(key, cand_pdf: pd.DataFrame, sk_pdf: pd.DataFrame) -> pd.DataFrame:
+        cand_pdf = cand_pdf[cols].copy()
+        if cand_pdf.empty or sk_pdf.empty:
+            cand_pdf["maybe_seen"] = False
+            return cand_pdf
+        b = Bloom.from_bytes(bytes(sk_pdf["bloom"].iloc[0]))
+        cand_pdf["maybe_seen"] = b.contains_many(cand_pdf["url_sha1"].to_numpy())
+        return cand_pdf
+
+    return (
+        candidates.groupBy("shard")
+        .cogroup(sketch_df.groupBy("shard"))
+        .applyInPandas(probe, schema=out_schema)
+    )
 
 
 def filter_unseen(
     candidates: DataFrame,
     seen: DataFrame | None,
-    sketches: dict[int, tuple[bytes, bytes, int]] | None = None,
+    sketch_df: DataFrame | None = None,
 ) -> DataFrame:
     """Rows of `candidates` whose url_sha1 is NOT in the seen set.
 
-    candidates must carry url_sha1 + shard columns. With sketches, the
-    expensive anti-join probes only the bloom-"maybe" slice; the
-    definite-negative slice bypasses the shuffle entirely.
+    candidates must carry url_sha1 + shard columns. With a sketch table,
+    the expensive anti-join probes only the bloom-"maybe" slice; the
+    definite-negative slice bypasses the anti-join entirely.
     """
     if seen is None:
         return candidates
-    if not sketches:
+    if sketch_df is None:
         return candidates.join(seen.select("url_sha1"), "url_sha1", "left_anti")
-    tagged = tag_maybe_seen(candidates, sketches)
+    tagged = tag_maybe_seen(candidates, sketch_df)
     certain_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     verified_new = maybe.join(seen.select("url_sha1"), "url_sha1", "left_anti")
@@ -181,23 +187,27 @@ def delete_seen(seen: DataFrame | None, del_keys: DataFrame) -> DataFrame | None
 
 def update_sketches(
     spark: SparkSession,
-    sketches: dict[int, tuple[bytes, bytes, int]],
+    sketch_df: DataFrame | None,
     new_keys: DataFrame,
     num_shards: int,
     capacity: int = DEFAULT_SHARD_CAPACITY,
     fpp: float = 0.01,
     deletes: DataFrame | None = None,
 ) -> DataFrame:
-    """Fold new (and deleted) keys into the per-shard sketches, distributed.
+    """Fold new (and deleted) keys into the per-shard sketch TABLE,
+    fully distributed.
 
-    Runs as applyInPandas grouped by shard — each task updates ONE shard's
-    bloom+cuckoo, so the work parallelizes across shards exactly like the
-    seen table itself (key-parallel; this is what lets the structure scale
-    N→4N). Returns the full new sketch table (one row per touched-or-existing
-    shard).
+    Shard-cogrouped applyInPandas over (changes, sketch_df): each task
+    updates ONE shard's bloom+cuckoo next to that shard's key delta —
+    key-parallel like the seen table itself, and nothing is collected to or
+    broadcast from the driver. Cogroup full-outer semantics handle every
+    case in one operator: untouched existing shards pass through unchanged
+    (byte-identical carry-forward), changed-but-new shards start fresh.
+    Returns the full new sketch table.
     """
-    bc = spark.sparkContext.broadcast(sketches)
     cap, f = capacity, fpp
+    if sketch_df is None:
+        sketch_df = spark.createDataFrame([], schemas.SEEN_SKETCH)
 
     changes = new_keys.select("url_sha1", "shard").withColumn("op", F.lit(1))
     if deletes is not None:
@@ -208,15 +218,20 @@ def update_sketches(
             d = deletes.select("url_sha1", "shard")
         changes = changes.unionByName(d.withColumn("op", F.lit(-1)))
 
-    def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fold(key, ch_pdf: pd.DataFrame, sk_pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(key[0])
-        prev = bc.value.get(shard)
-        if prev is None:
+        if ch_pdf.empty:
+            # untouched shard: carry its row forward byte-identically
+            return sk_pdf[["shard", "bloom", "cuckoo", "n"]]
+        if sk_pdf.empty:
             bloom, cuckoo, n = Bloom.for_capacity(cap, f), Cuckoo.for_capacity(cap), 0
         else:
-            bloom, cuckoo, n = Bloom.from_bytes(prev[0]), Cuckoo.from_bytes(prev[1]), prev[2]
-        adds = pdf.loc[pdf["op"] == 1, "url_sha1"].to_numpy()
-        dels = pdf.loc[pdf["op"] == -1, "url_sha1"].to_numpy()
+            row = sk_pdf.iloc[0]
+            bloom = Bloom.from_bytes(bytes(row["bloom"]))
+            cuckoo = Cuckoo.from_bytes(bytes(row["cuckoo"]))
+            n = int(row["n"])
+        adds = ch_pdf.loc[ch_pdf["op"] == 1, "url_sha1"].to_numpy()
+        dels = ch_pdf.loc[ch_pdf["op"] == -1, "url_sha1"].to_numpy()
         if len(adds):
             bloom.add_many(adds)
             cuckoo.add_many(adds)
@@ -233,19 +248,11 @@ def update_sketches(
             }
         )
 
-    touched = changes.groupBy("shard").applyInPandas(fold, schema=schemas.SEEN_SKETCH)
-    untouched_shards = set(sketches)
-    if untouched_shards:
-        # carry forward shards with no changes this generation
-        untouched = spark.createDataFrame(
-            [
-                (s, v[0], v[1], v[2])
-                for s, v in sketches.items()
-            ],
-            schema=schemas.SEEN_SKETCH,
-        ).join(changes.select("shard").distinct(), "shard", "left_anti")
-        return touched.unionByName(untouched)
-    return touched
+    return (
+        changes.groupBy("shard")
+        .cogroup(sketch_df.groupBy("shard"))
+        .applyInPandas(fold, schema=schemas.SEEN_SKETCH)
+    )
 
 
 def build_sketches(
