@@ -106,10 +106,13 @@ def bench_crawl_fetch_extract(spark, n: int | None = None):
         ).alias("url_canon")
     )
     fetched = fetch_src.fetch_pages(urls, web)
-    links = fetched.select(
+    # the crawl's actual extract stage: ONE combined analyze UDF (single
+    # Arrow transfer + single robust parse per doc), links exploded from
+    # the struct — not per-column UDFs
+    links = fetched.withColumn("_an", textops.analyze_udf("content")).select(
         "url_canon",
-        textops.title_udf("content").alias("title"),
-        F.explode(textops.links_udf("content")).alias("href"),
+        F.col("_an.title").alias("title"),
+        F.explode(F.col("_an.links")).alias("href"),
     )
     from web_scraper_spark.functions.urlops import junk_href
 
@@ -159,6 +162,7 @@ def bench_queries(spark):
         "frontier_admission": run("frontier_admission"),
         "priority_reorder": run("priority_reorder"),
         "sentiment": run("sentiment"),
+        "meta_pairs": run("meta_pairs"),
         "lang_id": run("lang_id"),
         "quality_score": run("quality_score"),
         "simhash": run("simhash"),

@@ -34,7 +34,7 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from web_scraper_spark.config import MIN_DELAY, CrawlConfig
-from web_scraper_spark.functions.textops import _HREF_RE, _IMG_RE, _as_text  # noqa
+from web_scraper_spark.functions.htmlparse import parse_document  # noqa
 from web_scraper_spark.functions.urlops import canonicalize_series
 from web_scraper_spark.operators.robots import is_allowed_py, parse_robots_body
 from web_scraper_spark.operators.scheduler import aimd_update_py
@@ -74,6 +74,7 @@ class SimResult:
     skipped: int = 0
     generations: int = 0
     metrics: dict = field(default_factory=dict)
+    failures: dict = field(default_factory=dict)  # url -> attempts (T7)
 
 
 def host_of(url: str) -> str | None:
@@ -103,6 +104,8 @@ def simulate(
             frontier[c] = (prio, 0)
 
     seen: set[str] = set()
+    failures: dict[str, int] = {}      # url -> attempts (T7)
+    cooldown: dict[str, float] = {}    # url -> next_retry_gen (inf = terminal)
     robots: dict[str, tuple[list[str], list[str], float | None]] = {}
     hs: dict[str, HostState] = {}
     crawl_order: list[tuple[int, str, str, int]] = []
@@ -121,24 +124,31 @@ def simulate(
             break
         # ---- 1. pop-gate
         pre_seen = set(seen)
+        pre_fail = dict(failures)  # gen-start failure state (engine reads the table once)
         drop = [u for u in frontier if sha1_hex(u) in seen]
         for u in drop:
             del frontier[u]
         skipped += len(drop)
+        # T7: terminally-failed urls drop out of the frontier (not skipped)
+        for u in [u for u in frontier if failures.get(u, 0) >= cfg.retry_count]:
+            del frontier[u]
         if not frontier:
             break
+        # T7 cooldown: in-backoff urls stay in the frontier, ineligible now
+        eligible = {u: v for u, v in frontier.items() if cooldown.get(u, 0) <= gen}
 
         # ---- 2. admission (uses host_state BEFORE this gen's robots refresh)
         by_host: dict[str, list[str]] = {}
-        for u in frontier:
+        for u in eligible:
             by_host.setdefault(host_of(u) or "", []).append(u)
         batch: list[tuple[str, int, float]] = []  # (url, host_rank, fetch_time)
         if cfg.oracle_mode:
-            u = min(frontier, key=lambda x: (frontier[x][0], x))
-            h = host_of(u) or ""
-            st = hs.get(h, HostState())
-            ft = max(st.last_fetch + st.current_delay, t0)
-            batch = [(u, 1, ft)]
+            if eligible:
+                u = min(eligible, key=lambda x: (frontier[x][0], x))
+                h = host_of(u) or ""
+                st = hs.get(h, HostState())
+                ft = max(st.last_fetch + st.current_delay, t0)
+                batch = [(u, 1, ft)]
         else:
             for h, urls in by_host.items():
                 st = hs.get(h, HostState())
@@ -191,16 +201,28 @@ def simulate(
             h = host_of(u) or ""
             results.setdefault(h, []).append((rank, ft, None, 0.0))
         new_links: list[tuple[str, int, int]] = []  # (url, priority, depth)
+        retry_readds: list[tuple[str, int, int]] = []
         completed: list[str] = []
         for u, rank, ft in allowed_rows:
             prio, depth = frontier[u]
             h = host_of(u) or ""
             status, html, _, ms = page_for_url(u, web)
             if html is None:
-                # transport failure: slot consumed, nothing marked/extracted
+                # transport failure: slot consumed, nothing marked/extracted.
+                # T7: record the attempt; non-terminal rows return to the
+                # frontier with a generation-unit backoff
                 failed_n += 1
+                att = failures.get(u, 0) + 1
+                failures[u] = att
+                if att >= cfg.retry_count:
+                    cooldown[u] = float("inf")
+                else:
+                    cooldown[u] = gen + 1 + (att - 1) * max(1, int(cfg.retry_delay))
+                    retry_readds.append((u, prio, depth))
                 continue
             completed.append(u)
+            failures.pop(u, None)
+            cooldown.pop(u, None)
             crawl_order.append((gen, u, h, prio))
             processed += 1
             bytes_dl += len(html.encode()) if html else 0
@@ -211,10 +233,12 @@ def simulate(
                     lst[i] = (rk, f2, status, ms / 1000.0)
                     break
             if html and depth < cfg.max_depth:
-                for href in _HREF_RE.findall(html):
+                for href in parse_document(html)["links"]:
                     c = canon(u, href)
                     if c is None or sha1_hex(c) in pre_seen:
                         continue
+                    if pre_fail.get(c, 0) >= cfg.retry_count:
+                        continue  # T7: terminal failures never re-enqueued
                     new_links.append((c, 1, depth + 1))
 
         # ---- 7. mark seen (successfully fetched only)
@@ -233,9 +257,11 @@ def simulate(
                 )
             st.last_fetch = max(r[1] for r in lst)
 
-        # ---- frontier' = (frontier ∖ batch) ∪ new (ZADD min-upsert)
+        # ---- frontier' = (frontier ∖ batch) ∪ retryable-failed ∪ new
         for u, _, _ in batch:
             frontier.pop(u, None)
+        for u, prio, depth in retry_readds:
+            frontier[u] = (prio, depth)
         for u, prio, depth in new_links:
             if u in frontier:
                 p, d = frontier[u]
@@ -258,6 +284,7 @@ def simulate(
         disallowed=disallowed_log,
         skipped=skipped,
         generations=gen,
+        failures=failures,
         metrics={
             "urls_processed": processed,
             "urls_skipped": skipped,

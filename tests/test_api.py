@@ -113,7 +113,10 @@ class TestShardPinning:
 class TestFetchFailures:
     def test_failed_fetch_not_marked_seen_and_matches_sim(self, spark, tmp_path_factory):
         web = SynthWebConfig(n_hosts=3, pages_per_host=8, fail_rate=0.2)
-        cfg = CrawlConfig(max_pages=15, max_depth=2, horizon=6.0, num_shards=8)
+        cfg = CrawlConfig(
+            max_pages=15, max_depth=2, horizon=6.0, num_shards=8,
+            retry_count=2, retry_delay=1,
+        )
         root = str(tmp_path_factory.mktemp("fail_crawl"))
         cat = run_crawl(spark, root, _seeds_df(spark, web), cfg, web, max_generations=25)
         sim = simulate([(r["url"], r["priority"]) for r in seed_url_rows(web)], cfg, web)
@@ -125,6 +128,28 @@ class TestFetchFailures:
         assert seen == sim.seen
         order = [r["url"] for r in cat.read("pages").orderBy("crawl_rank").collect()]
         assert order == [u for _, u, _, _ in sim.crawl_order]
+
+        # T7 contract: the fetch_failures table tracks per-url attempts
+        # exactly like the sim; synth failures are permanent, so retried
+        # urls accumulate attempts up to retry_count and go terminal
+        from web_scraper_spark.schemas import GIVEUP_GEN
+
+        ft = cat.read("fetch_failures")
+        assert ft is not None
+        got = {r["url_canon"]: r["attempts"] for r in ft.collect()}
+        assert got == dict(sim.failures)
+        assert m["urls_failed"] == sum(got.values()), "one metric count per attempt"
+        terminal = {
+            r["url_canon"] for r in ft.filter(F.col("next_retry_gen") >= GIVEUP_GEN).collect()
+        }
+        assert terminal == {u for u, a in got.items() if a >= cfg.retry_count}
+        assert any(a > 1 for a in got.values()), "fixture should exercise retries"
+        # terminal urls must not be marked seen and not be in the frontier
+        from oracle_sim import sha1_hex as _sha
+
+        fr = {r["url_canon"] for r in (cat.read("frontier") or ft.limit(0)).collect()}
+        for u in terminal:
+            assert _sha(u) not in seen and u not in fr
 
 
 class TestForceRescrape:

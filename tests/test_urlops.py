@@ -131,6 +131,13 @@ class TestNativeCanonicalizeParity:
         "http://h1.example.test/",
         "http://h1.example.test",
         "https://h2.test:99/deep/1/2/3?x=9#frag",
+        # malformed bases: no scheme://authority — relative resolution must
+        # yield null exactly like the pandas kernel's <NA> propagation
+        # (except the fragment-only href, which returns the base verbatim)
+        "nonsense",
+        "/just/a/path",
+        "ftp:missing-slashes",
+        "",
     ]
 
     def test_parity_on_corpus(self, spark):

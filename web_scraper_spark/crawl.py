@@ -13,8 +13,10 @@ becomes one *generation* of DataFrame transforms over the whole batch
               disallowed rows are dropped WITHOUT entering the seen set
               (c:111-118 frees the task before mark_visited) but their
               politeness slot stays consumed (the C waits before checking)
-4. fetch      mapInPandas batch fetch (S1) of allowed rows
-5. extract    title/meta/sentiment/links/images UDFs in one pass (P8-P13)
+4. fetch      mapInPandas batch fetch (S1) of allowed rows; transport
+              failures upsert into fetch_failures and retry with
+              generation-unit backoff, at most retry_count attempts (T7)
+5. extract    ONE analyze UDF pass: title/meta/sentiment/links/images (P8-P13)
 6. push       new links: canonicalize (P1) → sha1 → seen-gate
               (extract_hrefs.c:139-143: gated against seen EXCLUDING this
               batch — the reference marks visited only AFTER extraction) →
@@ -174,6 +176,7 @@ def run_generation(
     sketch_df = cat.read("seen_sketch")
     robots = cat.read("robots")
     host_state = cat.read("host_state") or sched.default_host_state(spark)
+    failures = cat.read("fetch_failures")
 
     frontier = frontier.cache()
 
@@ -189,24 +192,40 @@ def run_generation(
     n_skipped = n_frontier - n_candidates
     if n_candidates == 0 or (cfg.max_pages and total_processed >= cfg.max_pages):
         cat.stage("frontier", candidates.limit(0))
-        for t in ("seen", "seen_sketch", "robots", "host_state", "pages", "links", "page_images"):
+        for t in ("seen", "seen_sketch", "robots", "host_state", "pages", "links",
+                  "page_images", "fetch_failures"):
             cat.stage_keep(t, snap)
         m = dict(snap.metrics)
         m["urls_skipped"] = m.get("urls_skipped", 0) + n_skipped
         cat.commit(generation=g + 1, t0=t0, metrics=m)
         return GenerationResult(g, 0, n_skipped, 0, 0, True)
 
+    # -------- 1b. T7 retry cooldown: urls in failure backoff stay IN the
+    # frontier but are not eligible this generation. Terminal rows (GIVEUP
+    # sentinel) are dropped from the frontier here — they can only be
+    # present transiently via a same-generation rediscovery race, and
+    # keeping them would make the frontier never drain.
+    if failures is not None:
+        cooling = failures.filter(F.col("next_retry_gen") > F.lit(g)).select("url_sha1")
+        terminal_keys = failures.filter(
+            F.col("next_retry_gen") >= F.lit(schemas.GIVEUP_GEN)
+        ).select("url_sha1")
+        eligible = candidates.join(cooling, "url_sha1", "left_anti")
+    else:
+        terminal_keys = None
+        eligible = candidates
+
     # -------- 2. politeness admission
     persists: list = []  # with_global_rank slim caches; unpersisted at exit
     budget_left = (cfg.max_pages - total_processed) if cfg.max_pages else None
     if cfg.oracle_mode:
         batch = sched.admit_batch(
-            candidates, host_state, t0, horizon=math.inf,
+            eligible, host_state, t0, horizon=math.inf,
             salt=cfg.hot_host_salt, max_batch=1, registry=persists,
         )
     else:
         batch = sched.admit_batch(
-            candidates, host_state, t0, horizon=cfg.horizon,
+            eligible, host_state, t0, horizon=cfg.horizon,
             salt=cfg.hot_host_salt, max_batch=budget_left, registry=persists,
         )
     batch = batch.cache()
@@ -240,22 +259,53 @@ def run_generation(
     n_disallowed = disallowed.count()
 
     # -------- 4 + 5. fetch + extract (one Arrow pipeline).
-    # Transport failures (content null — the curl-error path) are dropped
-    # without marking seen (url_processor.c:121-131): rediscovery re-queues.
+    # Transport failures (content null — the curl-error path) are never
+    # marked seen (url_processor.c:121-131). T7 engine contract on top of
+    # the C's drop-and-rediscover: failed rows persist in fetch_failures,
+    # return to the frontier, and are retried after a generation-unit
+    # backoff of (attempts-1)*retry_delay, at most retry_count attempts.
     fetched_all = fetch_src.fetch_pages(allowed, web).cache()
     fetched = fetched_all.filter(F.col("content").isNotNull()).cache()
-    failed = fetched_all.filter(F.col("content").isNull())
+    failed = fetched_all.filter(F.col("content").isNull()).cache()
     n_fetched = fetched.count()
     n_failed = fetched_all.count() - n_fetched
 
+    prev_attempts = (
+        failures.select("url_sha1", "attempts")
+        if failures is not None
+        else spark.createDataFrame([], "url_sha1 string, attempts int")
+    )
+    backoff = max(1, int(cfg.retry_delay))
+    fail_rows = (
+        failed.select("url_sha1", "url_canon", "host")
+        .join(prev_attempts, "url_sha1", "left")
+        .withColumn("attempts", (F.coalesce(F.col("attempts"), F.lit(0)) + 1).cast("int"))
+        .withColumn("last_gen", F.lit(g).cast("long"))
+        .withColumn(
+            "next_retry_gen",
+            F.when(
+                F.col("attempts") >= F.lit(cfg.retry_count),
+                F.lit(schemas.GIVEUP_GEN),
+            )
+            .otherwise(F.lit(g + 1) + (F.col("attempts") - 1) * F.lit(backoff))
+            .cast("long"),
+        )
+        .cache()
+    )
+
+    # single-pass analysis (P13): one Arrow transfer of content, one parse
+    # per document → title/meta/sentiment/links/images together
     analyzed = (
-        fetched.withColumn("title", textops.title_udf(F.col("content")))
-        .withColumn("description", textops.description_udf(F.col("content")))
-        .withColumn("keywords", textops.keywords_udf(F.col("content")))
-        .withColumn("sentiment", textops.sentiment_udf(F.col("content")))
+        fetched.withColumn("_an", textops.analyze_udf(F.col("content")))
+        .withColumn("title", F.col("_an.title"))
+        .withColumn("description", F.col("_an.description"))
+        .withColumn("keywords", F.col("_an.keywords"))
+        .withColumn("sentiment", F.col("_an.sentiment"))
+        .withColumn("meta", F.col("_an.meta"))
         .withColumn("language", F.lit("en"))  # analyze_content placeholder (content_analyzer.c:289)
-        .withColumn("links", textops.links_udf(F.col("content")))
-        .withColumn("images", textops.images_udf(F.col("content")))
+        .withColumn("links", F.col("_an.links"))
+        .withColumn("images", F.col("_an.images"))
+        .drop("_an")
         .cache()
     )
 
@@ -292,6 +342,7 @@ def run_generation(
         "title",
         "description",
         "keywords",
+        "meta",
         "sentiment",
         "language",
         F.split(F.coalesce(F.col("keywords"), F.lit("")), ",").alias("topics"),
@@ -325,11 +376,26 @@ def run_generation(
     new_frontier_rows = _with_identity(new_frontier_rows, cfg.num_shards)
     # seen-gate at push time (extract_hrefs.c:139-143) — against PRE-batch seen
     new_frontier_rows = seen_ops.filter_unseen(new_frontier_rows, seen, sketch_df)
+    # T7: terminally-failed urls are never re-enqueued by rediscovery
+    # (gen-start failure state, like the pre-batch seen gate)
+    if terminal_keys is not None:
+        new_frontier_rows = new_frontier_rows.join(terminal_keys, "url_sha1", "left_anti")
 
-    # frontier' = (frontier ∖ admitted ∖ skipped) ∪ new, ZADD-upsert dedup
+    # frontier' = (frontier ∖ admitted ∖ skipped) ∪ retryable-failed ∪ new,
+    # ZADD-upsert dedup. Non-terminal failed rows go BACK into the frontier
+    # (their original rows — priority/depth preserved) so the T7 backoff can
+    # re-admit them; terminal rows stay out (GIVEUP sentinel in failures).
     leftover = candidates.join(batch.select("url_sha1"), "url_sha1", "left_anti")
+    if terminal_keys is not None:
+        leftover = leftover.join(terminal_keys, "url_sha1", "left_anti")
+    retry_rows = candidates.join(
+        fail_rows.filter(F.col("next_retry_gen") < F.lit(schemas.GIVEUP_GEN)).select("url_sha1"),
+        "url_sha1",
+        "left_semi",
+    )
     frontier_next = (
         leftover.select(*schemas_frontier_cols())
+        .unionByName(retry_rows.select(*schemas_frontier_cols()))
         .unionByName(new_frontier_rows.select(*schemas_frontier_cols()))
         .groupBy("url_canon")
         .agg(
@@ -413,6 +479,23 @@ def run_generation(
     ).filter(F.col("src").isNotNull())
     _append("page_images", page_images_new)
 
+    # fetch_failures upsert: attempts-this-generation replace their old
+    # rows (failed → fail_rows, succeeded → cleared); everything else —
+    # cooling, terminal, and not-attempted rows — carries forward. The
+    # table is bounded by currently-failing urls, so a full rewrite per
+    # generation stays O(failures), not O(crawl).
+    if failures is not None or n_failed > 0:
+        resolved_keys = fetched.select("url_sha1").unionByName(failed.select("url_sha1"))
+        carried = (
+            failures.join(resolved_keys, "url_sha1", "left_anti")
+            if failures is not None
+            else spark.createDataFrame([], schemas.FETCH_FAILURES)
+        )
+        failures_next = carried.select(*[f.name for f in schemas.FETCH_FAILURES.fields]).unionByName(
+            fail_rows.select(*[f.name for f in schemas.FETCH_FAILURES.fields])
+        )
+        cat.stage("fetch_failures", failures_next)
+
     if cfg.oracle_mode:
         # time advances to the single fetch's slot (the C sleeps to it)
         t_next_row = batch.select(F.max("fetch_time")).collect()[0][0]
@@ -433,7 +516,8 @@ def run_generation(
 
     fr_next = cat.read("frontier")
     n_frontier_next = fr_next.count() if fr_next is not None else 0
-    for df in (frontier, candidates, batch, robots_all, fetched_all, fetched, analyzed, decided, links_new, *persists):
+    for df in (frontier, candidates, batch, robots_all, fetched_all, fetched,
+               failed, fail_rows, analyzed, decided, links_new, *persists):
         df.unpersist()
     done = n_frontier_next == 0 or (
         cfg.max_pages and metrics["urls_processed"] >= cfg.max_pages
@@ -486,7 +570,8 @@ def reseed_crawl(cat: Catalog, seeds: DataFrame, cfg: CrawlConfig) -> Catalog:
         .select(*schemas_frontier_cols())
     )
     cat.stage("frontier", merged)
-    for t in ("seen", "seen_sketch", "robots", "host_state", "pages", "links", "page_images"):
+    for t in ("seen", "seen_sketch", "robots", "host_state", "pages", "links",
+              "page_images", "fetch_failures"):
         cat.stage_keep(t, snap)
     cat.commit(generation=snap.generation, t0=snap.t0, metrics=dict(snap.metrics))
     return cat

@@ -13,9 +13,17 @@ Clean-room re-expression of the reference's libxml2-based extractors:
                 10+10 lexicon; score = (pos-neg)/(pos+neg), 0 when none
                 (content_analyzer.c:215-257)
 
-The synthetic web corpus (synth.py) emits well-formed HTML, so the
-regex-based parse is exact on engine inputs; the libxml2 HTML-recover
-behavior on broken markup is out of contract.
+Tag/attribute extraction (title/meta/links/images) delegates to the
+recover-mode kernels in ``htmlparse`` — single-/un-quoted attributes, any
+attribute order/case/whitespace, comment+script/style-aware — mirroring
+libxml2's HTML_PARSE_RECOVER behavior on broken markup. Text/sentiment
+stay on the fast regex strip (identical on well- and mal-formed markup for
+the substring-count sentiment formula).
+
+The crawl's hot path uses ``analyze_udf``: ONE Arrow transfer of the
+content column and ONE parse per document yielding every analysis column
+(title, description, keywords, sentiment, meta pairs, links, images) —
+the per-column UDFs below are the test/API surface and re-parse per call.
 
 Everything runs inside Arrow batches over pandas Series — no per-row
 Python UDFs are registered with Spark.
@@ -30,6 +38,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import htmlparse
+
 POSITIVE_WORDS = [
     "good", "great", "excellent", "amazing", "wonderful",
     "best", "love", "happy", "joy", "success",
@@ -39,15 +49,6 @@ NEGATIVE_WORDS = [
     "sad", "angry", "failure", "poor", "disaster",
 ]
 
-_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.IGNORECASE | re.DOTALL)
-_META_RE_TPL = r'<meta\s+name="{name}"\s+content="([^"]*)"'
-_DESC_RE = re.compile(_META_RE_TPL.format(name="description"), re.IGNORECASE)
-_KEYW_RE = re.compile(_META_RE_TPL.format(name="keywords"), re.IGNORECASE)
-_HREF_RE = re.compile(r"<a\s[^>]*?href=\"([^\"]*)\"", re.IGNORECASE)
-_IMG_RE = re.compile(
-    r'<img\s+src="([^"]*)"(?:\s+alt="([^"]*)")?(?:\s+width="(\d+)")?(?:\s+height="(\d+)")?',
-    re.IGNORECASE,
-)
 _SCRIPT_STYLE_RE = re.compile(r"<(script|style)\b.*?</\1>", re.IGNORECASE | re.DOTALL)
 _TAG_RE = re.compile(r"<[^>]+>")
 
@@ -60,15 +61,22 @@ def _as_text(content: pd.Series) -> pd.Series:
 
 
 def extract_title_series(html: pd.Series) -> pd.Series:
-    return _as_text(html).str.extract(_TITLE_RE, expand=False)
+    return htmlparse.parse_document_series(html).map(lambda d: d["title"])
 
 
 def extract_desc_series(html: pd.Series) -> pd.Series:
-    return _as_text(html).str.extract(_DESC_RE, expand=False)
+    return htmlparse.parse_document_series(html).map(lambda d: d["description"])
 
 
 def extract_keywords_series(html: pd.Series) -> pd.Series:
-    return _as_text(html).str.extract(_KEYW_RE, expand=False)
+    return htmlparse.parse_document_series(html).map(lambda d: d["keywords"])
+
+
+def extract_meta_series(html: pd.Series) -> pd.Series:
+    """Every name=/property= + content pair (P9, extract_meta.c:8-60)."""
+    return htmlparse.parse_document_series(html).map(
+        lambda d: [{"key": k, "value": v} for k, v in d["meta"]]
+    )
 
 
 def extract_text_series(html: pd.Series) -> pd.Series:
@@ -90,26 +98,11 @@ def sentiment_series(text: pd.Series) -> pd.Series:
 
 
 def extract_links_series(html: pd.Series) -> pd.Series:
-    return _as_text(html).map(lambda s: _HREF_RE.findall(s) if s else [])
+    return htmlparse.parse_document_series(html).map(lambda d: d["links"])
 
 
 def extract_images_series(html: pd.Series) -> pd.Series:
-    def one(s):
-        if not s:
-            return []
-        out = []
-        for src, alt, w, h in _IMG_RE.findall(s):
-            out.append(
-                {
-                    "src": src,
-                    "alt": alt or None,
-                    "width": int(w) if w else None,
-                    "height": int(h) if h else None,
-                }
-            )
-        return out
-
-    return _as_text(html).map(one)
+    return htmlparse.parse_document_series(html).map(lambda d: d["images"])
 
 
 # ------------------------------------------------------------------ Spark UDFs
@@ -153,6 +146,58 @@ _IMG_SCHEMA = T.ArrayType(
 @F.pandas_udf(_IMG_SCHEMA)
 def images_udf(html: pd.Series) -> pd.Series:
     return extract_images_series(html)
+
+
+_META_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("value", T.StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_META_SCHEMA)
+def meta_udf(html: pd.Series) -> pd.Series:
+    return extract_meta_series(html)
+
+
+_ANALYSIS_SCHEMA = T.StructType(
+    [
+        T.StructField("title", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("keywords", T.StringType()),
+        T.StructField("sentiment", T.DoubleType()),
+        T.StructField("meta", _META_SCHEMA),
+        T.StructField("links", T.ArrayType(T.StringType())),
+        T.StructField("images", _IMG_SCHEMA),
+    ]
+)
+
+
+def analyze_series(html: pd.Series) -> pd.DataFrame:
+    """The P13 composite: ONE parse per document → every analysis column.
+    The crawl's extract stage calls this once per batch instead of seven
+    per-column UDFs — one Arrow transfer of the (largest) content column
+    and one tag scan instead of seven."""
+    docs = htmlparse.parse_document_series(html)
+    return pd.DataFrame(
+        {
+            "title": docs.map(lambda d: d["title"]),
+            "description": docs.map(lambda d: d["description"]),
+            "keywords": docs.map(lambda d: d["keywords"]),
+            "sentiment": sentiment_series(extract_text_series(html)),
+            "meta": docs.map(lambda d: [{"key": k, "value": v} for k, v in d["meta"]]),
+            "links": docs.map(lambda d: d["links"]),
+            "images": docs.map(lambda d: d["images"]),
+        }
+    )
+
+
+@F.pandas_udf(_ANALYSIS_SCHEMA)
+def analyze_udf(html: pd.Series) -> pd.DataFrame:
+    return analyze_series(html)
 
 
 def sentiment_sql_expr(text: Column) -> Column:

@@ -179,10 +179,26 @@ def canonicalize_expr(base: Column, href: Column) -> Column:
         resolved.substr(F.lit(1), F.length(resolved) - 1),
     ).otherwise(resolved)
 
+    # malformed base: the pandas kernel's extracts yield <NA> which
+    # propagates through concat → null result — but Spark regexp_extract
+    # returns '' on no-match, so without this guard a base like 'nonsense'
+    # would produce '/x' instead of null. Per-branch requirements mirror
+    # the kernel exactly: protocol-relative hrefs need only a scheme
+    # ('ftp:x' base still resolves '//h/q' → 'ftp://h/q'), fragment-only
+    # hrefs return the base verbatim (even malformed), everything else
+    # needs the full scheme://authority root.
+    scheme_ok = b.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
+    root_ok = b.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
+    base_ok = (
+        F.when(h.startswith("//"), scheme_ok)
+        .when(F.length(h) == 0, F.lit(True))
+        .otherwise(root_ok)
+    )
     return (
         F.when(empty_or_junk, F.lit(None).cast("string"))
         .when(absolute, h)  # absolute returned verbatim (trailing slash kept)
-        .otherwise(resolved)
+        .when(base_ok, resolved)
+        .otherwise(F.lit(None).cast("string"))
     )
 
 

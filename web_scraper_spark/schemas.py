@@ -58,6 +58,27 @@ ROBOTS = T.StructType(
 
 # ---------------------------------------------------------------- host state
 # In-memory domain_rate_t (rate_limiter.h:9-16) → checkpoint table.
+# ---------------------------------------------------------------- failures
+# T7 engine contract (SURVEY §2.7): transport-failed fetches persist here
+# and are retried with generation-unit backoff, honoring cfg.retry_count /
+# cfg.retry_delay. (The C drops the task and relies on rediscovery,
+# url_processor.c:121-131 — the table is the engine's documented upgrade.)
+FETCH_FAILURES = T.StructType(
+    [
+        T.StructField("url_sha1", T.StringType(), False),
+        T.StructField("url_canon", T.StringType(), False),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("attempts", T.IntegerType(), False),
+        T.StructField("last_gen", T.LongType(), False),
+        # generation at which the url becomes eligible again;
+        # GIVEUP_GEN sentinel = terminal (attempts exhausted)
+        T.StructField("next_retry_gen", T.LongType(), False),
+    ]
+)
+
+GIVEUP_GEN = 1 << 62  # next_retry_gen sentinel: never retried
+
+
 HOST_STATE = T.StructType(
     [
         T.StructField("host", T.StringType(), False),
@@ -90,6 +111,20 @@ PAGES = T.StructType(
         T.StructField("title", T.StringType(), True),
         T.StructField("description", T.StringType(), True),
         T.StructField("keywords", T.StringType(), True),
+        # P9 general meta pairs (extract_meta.c:8-60): every name=/property=
+        # + content pair incl. OpenGraph, in document order
+        T.StructField(
+            "meta",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField("value", T.StringType()),
+                    ]
+                )
+            ),
+            True,
+        ),
         T.StructField("sentiment", T.DoubleType(), True),
         T.StructField("language", T.StringType(), True),
         T.StructField("topics", T.ArrayType(T.StringType()), True),
