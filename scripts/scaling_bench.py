@@ -99,7 +99,10 @@ def main():
             tp = n / results[c][job]["sec"]
             cells.append(f"{results[c][job]['sec']:.2f} s / {tp:,.0f} URL/s")
         row_effs = []
-        for a, b in zip(levels, levels[1:]):
+        # every N vs 4N pair present in the level list (the north rule's
+        # two-cluster-size criterion), not just consecutive entries
+        pairs = [(a, a * 4) for a in levels if a * 4 in levels]
+        for a, b in pairs:
             tpa = n / results[a][job]["sec"]
             tpb = n / results[b][job]["sec"]
             eff = (tpb / tpa) / (b / a)

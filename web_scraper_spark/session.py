@@ -41,6 +41,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # off-heap Tungsten buffers: shuffle/sort/agg pages leave the Java
+        # heap, cutting GC pressure when many task threads share one JVM
+        # (measured: dedup_admission 7.4s → 5.9s at local[32] together with
+        # the local no-compress below). Equally valid on a cluster.
+        .config("spark.memory.offHeap.enabled", "true")
+        .config("spark.memory.offHeap.size", os.environ.get("SPARK_OFFHEAP", "16g"))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
+        # local mode (this factory always builds local[N]): shuffle bytes
+        # never cross a network — lz4 work is pure CPU overhead next to
+        # NVMe/tmpfs. A cluster spark-submit recipe must keep compression
+        # ON (shuffle becomes network-bound there).
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, str(v))
