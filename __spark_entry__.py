@@ -47,6 +47,76 @@ def _events_frontier(spark, sf_dir):
     )
 
 
+# robots_decisions oracle corpus: one body per host, covering every
+# path_matches_rule branch (robots_parser.c:318-367), allow-first
+# precedence (c:410-436), multi-rule hosts, a rule-less host with only a
+# Crawl-delay (sentinel row), and h7 absent entirely (unknown host).
+ROBOTS_ORACLE_BODIES = {
+    "h0": "Disallow: /private*\nAllow: /private/p1*\n",   # trailing-* + allow precedence
+    "h1": "Disallow: *.html\n",                            # leading-* suffix
+    "h2": "Disallow: /tmp-*cache\n",                       # interior-*
+    "h3": "Disallow: /exact\n",                            # no star: exact equality
+    "h4": "Allow: /a*\nDisallow: /a/b*\n",                 # allow checked first
+    "h5": "Disallow: /a/b/c1*\nDisallow: /a/b/c2*\n",      # multiple disallows
+    "h6": "Crawl-delay: 2\n",                              # rules-free host
+}
+
+
+def _robots_oracle_sql() -> str:
+    """DuckDB re-implementation of the decision over the same corpus.
+    Patterns are parsed+normalized by the SAME python kernel the engine's
+    parse UDF uses (parse_robots_body), then inlined as VALUES."""
+    from web_scraper_spark.operators.robots import parse_robots_body
+
+    rows = []
+    for host, body in ROBOTS_ORACLE_BODIES.items():
+        allow, disallow, _ = parse_robots_body(body)
+        rows += [f"('{host}', 'allow', '{p}')" for p in allow]
+        rows += [f"('{host}', 'disallow', '{p}')" for p in disallow]
+    values = ",\n         ".join(rows)
+    return f"""
+      WITH fr AS (
+        SELECT 'http://h' || CAST(o_orderkey % 8 AS VARCHAR) ||
+               CASE o_orderkey % 5
+                 WHEN 0 THEN '/private/p' || CAST(o_orderkey AS VARCHAR)
+                 WHEN 1 THEN '/public/doc' || CAST(o_orderkey AS VARCHAR) || '.html'
+                 WHEN 2 THEN '/tmp-' || CAST(o_orderkey AS VARCHAR) || '/cache'
+                 WHEN 3 THEN '/exact'
+                 ELSE '/a/b/c' || CAST(o_orderkey % 7 AS VARCHAR)
+               END AS url_canon,
+               'h' || CAST(o_orderkey % 8 AS VARCHAR) AS host,
+               CASE o_orderkey % 5
+                 WHEN 0 THEN '/private/p' || CAST(o_orderkey AS VARCHAR)
+                 WHEN 1 THEN '/public/doc' || CAST(o_orderkey AS VARCHAR) || '.html'
+                 WHEN 2 THEN '/tmp-' || CAST(o_orderkey AS VARCHAR) || '/cache'
+                 WHEN 3 THEN '/exact'
+                 ELSE '/a/b/c' || CAST(o_orderkey % 7 AS VARCHAR)
+               END AS path
+        FROM orders
+      ),
+      rules(host, rtype, pat) AS (
+        VALUES {values}
+      ),
+      m AS (
+        SELECT f.url_canon, r.rtype,
+               CASE
+                 WHEN NOT contains(r.pat, '*') THEN f.path = r.pat
+                 WHEN suffix(r.pat, '*') THEN starts_with(f.path, split_part(r.pat, '*', 1))
+                 WHEN starts_with(r.pat, '*') THEN suffix(f.path, substr(r.pat, 2))
+                 ELSE starts_with(f.path, split_part(r.pat, '*', 1))
+                      AND contains(substr(f.path, length(split_part(r.pat, '*', 1)) + 1),
+                                   regexp_extract(r.pat, '^[^*]*\\*+([^*]*)', 1))
+               END AS hit
+        FROM fr f LEFT JOIN rules r ON f.host = r.host
+      )
+      SELECT url_canon,
+             coalesce(bool_or(rtype = 'allow' AND hit), FALSE)
+             OR NOT coalesce(bool_or(rtype = 'disallow' AND hit), FALSE) AS allowed
+      FROM m
+      GROUP BY url_canon
+    """
+
+
 _EVENTS_FRONTIER_SQL = f"""
   SELECT CAST(user_id % {N_HOSTS_MOD} AS BIGINT) AS host_id,
          lpad(CAST(event_id AS VARCHAR), 12, '0') AS url_canon,
@@ -435,24 +505,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---------------- crawl-native ops (no SQL oracle: synthetic web corpus)
     def q_robots_decisions(spark, sf_dir):
-        from web_scraper_spark import synth
-        from web_scraper_spark.functions.urlops import (
-            host_expr,
-            normalize_path_expr,
-            split_base_path_exprs,
-        )
+        """P5/P6 full matcher semantics under a DuckDB oracle: the frontier
+        derives deterministically from `orders` (host = h<key%8>, five path
+        shapes), the rule corpus exercises all four match branches (exact,
+        trailing-*, leading-*, interior-*) plus the allow-first precedence
+        quirk and rule-less/unknown hosts. The oracle re-implements
+        path_matches_rule in SQL over the SAME (python-parsed) patterns."""
+        from web_scraper_spark.functions.urlops import normalize_path_expr
         from web_scraper_spark.operators.robots import decide_allowed, rules_from_corpus
 
-        web = synth.SynthWebConfig(n_hosts=8, pages_per_host=30)
         corpus = spark.createDataFrame(
-            [(r["host"], r["body"]) for r in synth.robots_corpus_rows(web)], ["host", "body"]
+            list(ROBOTS_ORACLE_BODIES.items()), ["host", "body"]
         )
         robots = rules_from_corpus(corpus, fetched_at=0)
-        urls = spark.createDataFrame([(u,) for u in synth.all_urls(web)], ["url_canon"])
-        _, path = split_base_path_exprs(F.col("url_canon"))
-        fr = urls.withColumn("host", host_expr(F.col("url_canon"))).withColumn(
-            "norm_path", normalize_path_expr(path)
+        o = _t(spark, sf_dir, "orders")
+        k = F.col("o_orderkey")
+        path = (
+            F.when(k % 5 == 0, F.concat(F.lit("/private/p"), k.cast("string")))
+            .when(k % 5 == 1, F.concat(F.lit("/public/doc"), k.cast("string"), F.lit(".html")))
+            .when(k % 5 == 2, F.concat(F.lit("/tmp-"), k.cast("string"), F.lit("/cache")))
+            .when(k % 5 == 3, F.lit("/exact"))
+            .otherwise(F.concat(F.lit("/a/b/c"), (k % 7).cast("string")))
         )
+        host = F.concat(F.lit("h"), (k % 8).cast("string"))
+        fr = o.select(
+            F.concat(F.lit("http://"), host, path).alias("url_canon"),
+            host.alias("host"),
+            normalize_path_expr(path).alias("norm_path"),
+        ).dropDuplicates(["url_canon"])  # /exact and c<k%7> shapes collide by design
         return decide_allowed(fr, robots).select("url_canon", "allowed")
 
     q["robots_decisions"] = q_robots_decisions
@@ -654,6 +734,8 @@ def oracle_sql() -> dict[str, str]:
     o["token_count"] = f"SELECT doc_id, {ta.token_count_sql('text')} AS n_tokens FROM documents"
     o["quality_score"] = f"SELECT doc_id, {ta.quality_score_sql('text')} AS quality FROM documents"
     o["fingerprint"] = f"SELECT doc_id, {ta.fingerprint_sql('text')} AS fp FROM documents"
+
+    o["robots_decisions"] = _robots_oracle_sql()
 
     o["meta_pairs"] = """
       WITH c AS (
