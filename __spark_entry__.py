@@ -503,6 +503,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk"] = q_ann_lsh_topk
 
+    def q_ann_ivf_topk(spark, sf_dir):  # no oracle: approximate by design
+        """IVF ANN: deterministic k-means inverted file, n_probe nearest
+        clusters exactly ranked — the second scale path next to LSH."""
+        e = _emb(spark, sf_dir)
+        qs = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        return simsearch.ivf_topk(e, qs, k=5, n_clusters=16, n_probe=4, iters=2)
+
+    q["ann_ivf_topk"] = q_ann_ivf_topk
+
     # ---------------- crawl-native ops (no SQL oracle: synthetic web corpus)
     def q_robots_decisions(spark, sf_dir):
         """P5/P6 full matcher semantics under a DuckDB oracle: the frontier

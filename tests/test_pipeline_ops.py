@@ -194,6 +194,9 @@ class TestDedup:
             assert c3 <= c4
             assert c4 < 5 * n, (n, c4)  # near-linear, nowhere near n²/2
             df.unpersist()
+
+
+class TestSimilarity:
     def test_cosine_matches_duckdb(self, emb, ddb):
         a = emb.limit(1).select(F.col("embedding").alias("q_vec")).collect()[0]["q_vec"]
         df = emb.select(
@@ -240,3 +243,36 @@ class TestDedup:
         top1 = {r["q_id"]: r["vec_id"] for r in approx.collect() if r["rank"] == 1}
         hits = sum(1 for q, v in top1.items() if q == v)
         assert hits >= 7, top1
+
+    def test_ivf_topk_self_retrieval_and_determinism(self, spark, emb):
+        """IVF contract: the query's own vector (always in the probed
+        cluster — it IS the nearest cluster's member) comes back at rank 1;
+        two runs return identical rows (seed-free deterministic k-means)."""
+        qs = emb.limit(5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        a = simsearch.ivf_topk(emb, qs, k=5, n_clusters=8, n_probe=3, iters=2)
+        rows_a = sorted(map(tuple, a.collect()))
+        top1 = {r[0]: r[1] for r in rows_a if r[3] == 1}
+        assert all(q == v for q, v in top1.items()), top1
+        b = simsearch.ivf_topk(emb, qs, k=5, n_clusters=8, n_probe=3, iters=2)
+        assert rows_a == sorted(map(tuple, b.collect()))
+
+    def test_ivf_recall_against_brute(self, spark, emb):
+        """Probing 3 of 8 clusters must recover most true top-5 neighbors
+        on the synthetic corpus (recall measured, not assumed)."""
+        qs = emb.limit(5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        exact = {
+            (r["q_id"], r["vec_id"])
+            for r in simsearch.brute_topk(emb, qs, k=5).collect()
+        }
+        approx = {
+            (r["q_id"], r["vec_id"])
+            for r in simsearch.ivf_topk(
+                emb, qs, k=5, n_clusters=8, n_probe=3, iters=2
+            ).collect()
+        }
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.5, recall

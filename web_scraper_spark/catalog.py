@@ -164,6 +164,100 @@ class Catalog:
         if table in snapshot.tables:
             self._staged[table] = snapshot.tables[table]
 
+    # ------------------------------------------------- partition-level COW
+    def has_bucket_lineage(self, table: str, snapshot: Snapshot | None) -> bool:
+        """True when `table`'s current version was written bucket-pure
+        (stage_cow), so unchanged buckets can be carried at file level."""
+        return bool(
+            snapshot
+            and table in snapshot.tables
+            and "buckets" in snapshot.tables[table]
+        )
+
+    def _write_version_cow(self, table: str, df: DataFrame, bucket_col: str) -> dict[str, list[dict]]:
+        """Write one immutable version dir partitioned by bucket; return
+        {bucket: file-lineage list}. The partition key is a DUPLICATE of
+        `bucket_col` (`_b`), so the data files keep the original column and
+        manifest-listed files read back with an unchanged schema."""
+        from pyspark.sql import functions as F
+
+        version = f"v{uuid.uuid4().hex[:12]}"
+        path = os.path.join(self.root, table, version)
+        df.withColumn("_b", F.col(bucket_col)).write.partitionBy("_b").mode(
+            "error"
+        ).parquet(path)
+        import pyarrow.parquet as pq
+
+        buckets: dict[str, list[dict]] = {}
+        for d in sorted(os.listdir(path)):
+            if not d.startswith("_b="):
+                continue
+            b = d[len("_b="):]
+            for fn in sorted(os.listdir(os.path.join(path, d))):
+                if not fn.endswith(".parquet"):
+                    continue
+                fp = os.path.join(path, d, fn)
+                meta = pq.ParquetFile(fp).metadata
+                if meta.num_rows == 0:
+                    continue
+                buckets.setdefault(b, []).append(
+                    {
+                        "path": f"{version}/{d}/{fn}",
+                        "bytes": os.path.getsize(fp),
+                        "rows": meta.num_rows,
+                    }
+                )
+        return buckets
+
+    def stage_cow(
+        self,
+        table: str,
+        delta: DataFrame,
+        bucket_col: str = "shard",
+        changed_buckets: list | None = None,
+        snapshot: Snapshot | None = None,
+    ) -> dict:
+        """Partition-level copy-on-write (the Iceberg partition-overwrite
+        analog): the next version of `table` = the parent's files for every
+        UNchanged bucket (no read, no rewrite) + freshly written bucket-pure
+        files for `changed_buckets`, whose complete new content must be
+        `delta`. A changed bucket absent from `delta` is emptied.
+
+        With `changed_buckets=None`, or when the parent has no bucket
+        lineage (it was last staged via stage()/stage_append()), `delta` is
+        taken as the FULL table and everything is written — which also
+        (re)establishes lineage for subsequent COW commits.
+
+        At 10^10-row frontier scale this turns the per-generation frontier
+        commit from O(frontier) into O(touched buckets): in steady state a
+        generation touches the buckets of its admitted batch, its newly
+        discovered urls and its seen-skips — a small fraction of the key
+        space."""
+        snap = snapshot or self.current_snapshot()
+        parent = snap.tables.get(table) if snap and table in snap.tables else None
+        new_buckets = self._write_version_cow(table, delta, bucket_col)
+        if changed_buckets is None or parent is None or "buckets" not in parent:
+            merged = dict(new_buckets)
+        else:
+            changed = {str(b) for b in changed_buckets}
+            stray = set(new_buckets) - changed
+            if stray:
+                raise ValueError(
+                    f"stage_cow delta contains rows of undeclared buckets {sorted(stray)}"
+                )
+            merged = {
+                b: fs for b, fs in parent["buckets"].items() if b not in changed
+            }
+            merged.update(new_buckets)
+        files = [f for b in sorted(merged, key=str) for f in merged[b]]
+        entry = {
+            "files": files,
+            "rows": sum(f["rows"] for f in files),
+            "buckets": merged,
+        }
+        self._staged[table] = entry
+        return entry
+
     # ------------------------------------------------------------- commit
     def commit(self, generation: int, t0: float, metrics: dict | None = None) -> Snapshot:
         """Atomically publish all staged tables as the next snapshot."""
@@ -253,11 +347,12 @@ class Catalog:
                 vpath = os.path.join(tdir, vdir)
                 if not os.path.isdir(vpath):
                     continue
-                rel_files = {
-                    os.path.join(t, vdir, fn)
-                    for fn in os.listdir(vpath)
-                    if fn.endswith(".parquet")
-                }
+                rel_files = set()
+                for dirpath, _, fns in os.walk(vpath):
+                    rel_dir = os.path.relpath(dirpath, self.root)
+                    rel_files |= {
+                        os.path.join(rel_dir, fn) for fn in fns if fn.endswith(".parquet")
+                    }
                 if rel_files and rel_files.isdisjoint(live_files):
                     removed_files += len(rel_files)
                     shutil.rmtree(vpath)

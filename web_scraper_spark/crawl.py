@@ -39,12 +39,13 @@ concatenation order.
 
 Scale shape per generation: one shuffle by host (admission window), one
 shuffle by url_sha1 (dedup/anti-join), Arrow-vectorized Python stages only;
-seen/pages/links appends are O(delta) via Catalog.stage_append. The
-frontier and host_state tables are rewritten per generation (anti-join +
-union, fully key-parallel); at 10^10-frontier scale the planned refinement
-is hash-partitioned copy-on-write (rewrite only the host_bucket partitions
-containing admitted/new rows — the Iceberg partition-overwrite pattern),
-which changes the commit layer only, not the operator algebra.
+seen/pages/links appends are O(delta) via Catalog.stage_append; the
+frontier commits via shard-level copy-on-write (Catalog.stage_cow — the
+Iceberg partition-overwrite pattern): only shards touched by an admission,
+a seen-skip, a terminal failure or a new/retried url are recomputed and
+rewritten, every other shard's files carry forward untouched, so the
+frontier commit is O(touched shards) instead of O(frontier). host_state is
+rewritten per generation (it is one row per host — small by construction).
 """
 
 from __future__ import annotations
@@ -134,7 +135,9 @@ def init_crawl(
             "priority", "depth", "parent_url", "discovered_at",
         )
     )
-    cat.stage("frontier", frontier)
+    # bucket-pure COW write from the start: generation 1 can already carry
+    # untouched shards at file level
+    cat.stage_cow("frontier", frontier, "shard", None)
     cat.commit(generation=0, t0=0.0, metrics={
         "urls_processed": 0, "urls_skipped": 0, "urls_disallowed": 0,
         "bytes_downloaded": 0, "crawl_rank_next": 0,
@@ -385,31 +388,84 @@ def run_generation(
     # ZADD-upsert dedup. Non-terminal failed rows go BACK into the frontier
     # (their original rows — priority/depth preserved) so the T7 backoff can
     # re-admit them; terminal rows stay out (GIVEUP sentinel in failures).
-    leftover = candidates.join(batch.select("url_sha1"), "url_sha1", "left_anti")
-    if terminal_keys is not None:
-        leftover = leftover.join(terminal_keys, "url_sha1", "left_anti")
+    #
+    # Committed via partition-level copy-on-write (catalog.stage_cow): only
+    # shards touched by a removal (admitted, seen-skipped, terminal) or an
+    # addition (new url, retry) are recomputed + rewritten; every other
+    # shard's files carry forward untouched. Exactness relies on shard =
+    # f(url_sha1): a ZADD-upsert collision between a new url and an
+    # existing row can only happen INSIDE one shard, so the bucket-local
+    # groupBy equals the global one. At 10^10-frontier scale this turns the
+    # per-generation frontier commit from O(frontier) into O(touched).
+    new_frontier_rows = new_frontier_rows.cache()
     retry_rows = candidates.join(
         fail_rows.filter(F.col("next_retry_gen") < F.lit(schemas.GIVEUP_GEN)).select("url_sha1"),
         "url_sha1",
         "left_semi",
     )
-    frontier_next = (
-        leftover.select(*schemas_frontier_cols())
-        .unionByName(retry_rows.select(*schemas_frontier_cols()))
-        .unionByName(new_frontier_rows.select(*schemas_frontier_cols()))
-        .groupBy("url_canon")
-        .agg(
-            F.min("priority").alias("priority"),
-            F.min("url").alias("url"),
-            F.min("url_sha1").alias("url_sha1"),
-            F.min("host").alias("host"),
-            F.min("shard").alias("shard"),
-            F.min("depth").alias("depth"),
-            F.min("parent_url").alias("parent_url"),
-            F.min("discovered_at").alias("discovered_at"),
+
+    def _upsert(rows: DataFrame) -> DataFrame:
+        return (
+            rows.groupBy("url_canon")
+            .agg(
+                F.min("priority").alias("priority"),
+                F.min("url").alias("url"),
+                F.min("url_sha1").alias("url_sha1"),
+                F.min("host").alias("host"),
+                F.min("shard").alias("shard"),
+                F.min("depth").alias("depth"),
+                F.min("parent_url").alias("parent_url"),
+                F.min("discovered_at").alias("discovered_at"),
+            )
+            .select(*schemas_frontier_cols())
         )
-        .select(*schemas_frontier_cols())
-    )
+
+    if cat.has_bucket_lineage("frontier", snap):
+        # shards with seen-skip drops: cheap per-shard count diff (both
+        # sides cached; the joined result is ≤ num_shards rows)
+        if cfg.force_rescrape:
+            skip_shards = spark.createDataFrame([], "shard int")
+        else:
+            fcnt = frontier.groupBy("shard").agg(F.count(F.lit(1)).alias("fn"))
+            ccnt = candidates.groupBy("shard").agg(F.count(F.lit(1)).alias("cn"))
+            skip_shards = (
+                fcnt.join(ccnt, "shard", "left")
+                .filter(F.coalesce(F.col("cn"), F.lit(0)) != F.col("fn"))
+                .select("shard")
+            )
+        changed_df = (
+            batch.select("shard")
+            .unionByName(new_frontier_rows.select("shard"))
+            .unionByName(skip_shards)
+        )
+        if terminal_keys is not None:
+            changed_df = changed_df.unionByName(
+                candidates.join(terminal_keys, "url_sha1", "left_semi").select("shard")
+            )
+        changed = sorted(int(r["shard"]) for r in changed_df.distinct().collect())
+        keep = candidates.filter(F.col("shard").isin(changed)).join(
+            batch.select("url_sha1"), "url_sha1", "left_anti"
+        )
+        if terminal_keys is not None:
+            keep = keep.join(terminal_keys, "url_sha1", "left_anti")
+        frontier_delta = _upsert(
+            keep.select(*schemas_frontier_cols())
+            .unionByName(retry_rows.select(*schemas_frontier_cols()))
+            .unionByName(new_frontier_rows.select(*schemas_frontier_cols()))
+        )
+        cat.stage_cow("frontier", frontier_delta, "shard", changed, snap)
+    else:
+        # no bucket lineage yet (first generation after init/reseed):
+        # full rewrite, which establishes lineage for the next commits
+        leftover = candidates.join(batch.select("url_sha1"), "url_sha1", "left_anti")
+        if terminal_keys is not None:
+            leftover = leftover.join(terminal_keys, "url_sha1", "left_anti")
+        frontier_next = _upsert(
+            leftover.select(*schemas_frontier_cols())
+            .unionByName(retry_rows.select(*schemas_frontier_cols()))
+            .unionByName(new_frontier_rows.select(*schemas_frontier_cols()))
+        )
+        cat.stage_cow("frontier", frontier_next, "shard", None, snap)
 
     # -------- 7 + 8. mark seen, fold host state, update sketches
     batch_keys = (
@@ -457,7 +513,6 @@ def run_generation(
         else:
             cat.stage_append(table, delta, snap)
 
-    cat.stage("frontier", frontier_next)
     _append("seen", seen_next_delta)
     cat.stage("seen_sketch", sketch_next)
     cat.stage("robots", robots_all) if robots is None else _append("robots", new_rules)
@@ -517,7 +572,8 @@ def run_generation(
     fr_next = cat.read("frontier")
     n_frontier_next = fr_next.count() if fr_next is not None else 0
     for df in (frontier, candidates, batch, robots_all, fetched_all, fetched,
-               failed, fail_rows, analyzed, decided, links_new, *persists):
+               failed, fail_rows, analyzed, decided, links_new,
+               new_frontier_rows, *persists):
         df.unpersist()
     done = n_frontier_next == 0 or (
         cfg.max_pages and metrics["urls_processed"] >= cfg.max_pages
@@ -569,7 +625,7 @@ def reseed_crawl(cat: Catalog, seeds: DataFrame, cfg: CrawlConfig) -> Catalog:
         )
         .select(*schemas_frontier_cols())
     )
-    cat.stage("frontier", merged)
+    cat.stage_cow("frontier", merged, "shard", None)
     for t in ("seen", "seen_sketch", "robots", "host_state", "pages", "links",
               "page_images", "fetch_failures"):
         cat.stage_keep(t, snap)
