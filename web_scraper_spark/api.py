@@ -28,9 +28,10 @@ from .synth import SynthWebConfig
 def analyze_url(spark: SparkSession, cat: Catalog | None, url: str, web: SynthWebConfig) -> DataFrame:
     """Single-URL analysis with cache read-through.
 
-    Returns one row (url, title, description, keywords, sentiment,
-    language, cached:boolean)."""
-    cols = ["url", "title", "description", "keywords", "sentiment", "language"]
+    Returns one row (url, title, description, keywords, meta, sentiment,
+    language, cached:boolean) — meta = every name/property+content pair
+    (P9), like the pages table."""
+    cols = ["url", "title", "description", "keywords", "meta", "sentiment", "language"]
     if cat is not None:
         pages = cat.read("pages")
         if pages is not None:
@@ -39,12 +40,13 @@ def analyze_url(spark: SparkSession, cat: Catalog | None, url: str, web: SynthWe
                 return hit.withColumn("cached", F.lit(True))
     one = spark.createDataFrame([(url,)], ["url_canon"])
     fetched = fetch_src.fetch_pages(one, web)
-    return fetched.select(
+    return fetched.withColumn("_an", textops.analyze_udf(F.col("content"))).select(
         F.col("url_canon").alias("url"),
-        textops.title_udf(F.col("content")).alias("title"),
-        textops.description_udf(F.col("content")).alias("description"),
-        textops.keywords_udf(F.col("content")).alias("keywords"),
-        textops.sentiment_udf(F.col("content")).alias("sentiment"),
+        F.col("_an.title").alias("title"),
+        F.col("_an.description").alias("description"),
+        F.col("_an.keywords").alias("keywords"),
+        F.col("_an.meta").alias("meta"),
+        F.col("_an.sentiment").alias("sentiment"),
         F.lit("en").alias("language"),
         F.lit(False).alias("cached"),
     )
