@@ -150,3 +150,59 @@ class TestMetricsStream:
             assert got[("2026-01-01 00:00:00", "h2")] == (1, 50)
         finally:
             q.stop()
+
+
+class TestStreamingCrawlEndToEnd:
+    def test_dedup_politeness_fetch_sink_and_resume(self, spark, tmp_path):
+        """Full streaming crawl: frontier drops → streaming dedup →
+        stateful politeness → fetch → analyze → checkpointed parquet sink.
+        A second drop against the SAME checkpoint must (a) never refetch
+        urls from drop 1 (dedup state store survives restart), (b) keep
+        each host's politeness clock advancing from its persisted
+        last_fetch, (c) fetch every genuinely-new url exactly once."""
+        from web_scraper_spark.streaming.crawl_stream import streaming_crawl
+        from web_scraper_spark.synth import SynthWebConfig, page_url
+
+        web = SynthWebConfig(n_hosts=3, pages_per_host=8)
+        frontier = str(tmp_path / "frontier")
+        pages = str(tmp_path / "pages")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(frontier, exist_ok=True)
+
+        def drop(rows):
+            spark.createDataFrame(
+                rows, "url string, priority int, event_time double"
+            ).coalesce(1).write.mode("append").parquet(frontier)
+
+        batch1 = [(page_url(h, p), 1, 0.0) for h in range(3) for p in range(4)]
+        drop(batch1 + batch1[:3])  # in-stream duplicates too
+        q = streaming_crawl(spark, frontier, pages, ckpt, web)
+        q.awaitTermination()
+        got1 = spark.read.parquet(pages).collect()
+        urls1 = [r["url"] for r in got1]
+        assert sorted(urls1) == sorted({u for u, _, _ in batch1})
+        assert all(r["title"] for r in got1)
+        by_host_last = {}
+        for r in got1:
+            ts = by_host_last.setdefault(r["host"], [])
+            ts.append(r["fetch_time"])
+        for h, ts in by_host_last.items():
+            ts.sort()
+            assert all(b - a >= 0.999 for a, b in zip(ts, ts[1:])), (h, ts)
+            by_host_last[h] = ts[-1]
+
+        # drop 2: overlap with drop 1 + new urls; restart from checkpoint
+        batch2 = [(page_url(h, p), 1, 0.0) for h in range(3) for p in range(2, 7)]
+        drop(batch2)
+        q2 = streaming_crawl(spark, frontier, pages, ckpt, web)
+        q2.awaitTermination()
+        got2 = spark.read.parquet(pages).collect()
+        new_urls = {u for u, _, _ in batch2} - {u for u, _, _ in batch1}
+        assert sorted(r["url"] for r in got2) == sorted(
+            {u for u, _, _ in batch1} | new_urls
+        )
+        # politeness clock continued: every new fetch lands after the
+        # host's persisted last_fetch + delay
+        for r in got2:
+            if r["url"] in new_urls and r["host"] in by_host_last:
+                assert r["fetch_time"] >= by_host_last[r["host"]] + 0.999, r
