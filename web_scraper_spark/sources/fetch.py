@@ -7,12 +7,17 @@ content_type, response_ms) out — but a *batch* of frontier rows flows
 through one Arrow exchange, and the body is a single BinaryType cell
 (no realloc-append chunking needed; write_callback.c:27-43 disappears).
 
-In this sandbox there is no network, so the transport behind the operator
-is the deterministic synthetic web (synth.page_for_url): a pure function
-of (seed, url), evaluable on any executor independently — which is exactly
-what lets the 10^10-URL frontier stay virtual. Swapping in a real HTTP
-transport (requests/aiohttp per Arrow batch with a thread pool, timeout +
-retry per T7) changes ONLY `_fetch_batch`, not the plan shape.
+Two transports live behind the one operator boundary:
+- `fetch_pages` — the deterministic synthetic web (synth.page_for_url): a
+  pure function of (seed, url), evaluable on any executor independently —
+  which is exactly what lets the 10^10-URL frontier stay virtual; every
+  correctness test runs on this transport.
+- `fetch_pages_http` — REAL HTTP via stdlib urllib with fetch_url.c
+  semantics (follow redirects, hard timeout, UA header, 1 MB cap), a
+  per-partition I/O thread pool (the 8-worker-thread analog) and in-batch
+  transport retries; verified against an in-process localhost server
+  (tests/test_http_fetch.py). Identical output schema, so the crawl loop
+  swaps transports without touching the plan.
 
 The 1 MB response cap (MAX_RESPONSE_SIZE, scraper.c:28) is enforced here,
 as is the robots.txt fetch used by the T4 refresh path.
@@ -92,3 +97,96 @@ def fetch_robots(hosts: DataFrame, cfg: SynthWebConfig) -> DataFrame:
             )
 
     return hosts.select("host").mapInPandas(run, schema=ROBOTS_FETCH_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# real HTTP transport (stdlib urllib) behind the same operator boundary
+# --------------------------------------------------------------------------
+
+
+def _http_get(url: str, timeout_s: float, user_agent: str):
+    """One GET with fetch_url.c semantics: follow redirects (urllib
+    default ≙ CURLOPT_FOLLOWLOCATION), hard timeout (CURLOPT_TIMEOUT),
+    UA header. HTTP 4xx/5xx return (code, body) — the C reads the status
+    via CURLINFO_RESPONSE_CODE and keeps whatever body arrived; transport
+    errors (DNS, refused, timeout) return (None, None) — the CURLE_!OK
+    path the engine maps to a fetch failure (T7)."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(url, headers={"User-Agent": user_agent})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            body = resp.read(MAX_RESPONSE_SIZE + 1)[:MAX_RESPONSE_SIZE]
+            return resp.status, body, resp.headers.get("Content-Type")
+    except urllib.error.HTTPError as e:
+        body = e.read(MAX_RESPONSE_SIZE + 1)[:MAX_RESPONSE_SIZE]
+        return e.code, body, e.headers.get("Content-Type")
+    except Exception:
+        return None, None, None
+
+
+def http_fetch_batch(
+    urls: pd.Series,
+    timeout_s: float = 10.0,
+    user_agent: str = "WebScraperBot/1.0",
+    retries: int = 0,
+    concurrency: int = 8,
+) -> pd.DataFrame:
+    """Fetch one Arrow batch over real HTTP.
+
+    - `concurrency` is the per-partition I/O thread pool — the analog of
+      the reference's 8 worker threads (REFERENCE_NUM_THREADS); Spark's
+      task parallelism multiplies it across cores/executors.
+    - `retries` re-attempts TRANSPORT failures only (the in-batch
+      complement of the cross-generation T7 backoff; HTTP error statuses
+      are results, not retryable transport faults).
+    """
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(u: str):
+        t0 = time.perf_counter()
+        status = body = ctype = None
+        for _ in range(1 + max(0, retries)):
+            status, body, ctype = _http_get(u, timeout_s, user_agent)
+            if status is not None:
+                break
+        ms = int((time.perf_counter() - t0) * 1000)
+        return {
+            "status": status,
+            "content": body,
+            "content_type": ctype,
+            "response_ms": ms,
+        }
+
+    with ThreadPoolExecutor(max_workers=max(1, concurrency)) as pool:
+        rows = list(pool.map(one, urls))
+    return pd.DataFrame(rows)
+
+
+def fetch_pages_http(
+    batch: DataFrame,
+    timeout_s: float = 10.0,
+    user_agent: str = "WebScraperBot/1.0",
+    retries: int = 0,
+    concurrency: int = 8,
+    url_col: str = "url_canon",
+) -> DataFrame:
+    """fetch_pages with the REAL transport: identical schema and operator
+    shape (mapInPandas, batch rows + FETCH_RESULT_FIELDS), so the crawl
+    loop swaps transports without touching the plan. Config plumbs from
+    CrawlConfig: request_timeout → timeout_s, user_agent, retry_count →
+    retries (in-batch transport retries; the fetch_failures table handles
+    cross-generation backoff either way)."""
+    out_schema = T.StructType(list(batch.schema.fields) + FETCH_RESULT_FIELDS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = http_fetch_batch(
+                pdf[url_col], timeout_s, user_agent, retries, concurrency
+            )
+            res.index = pdf.index
+            yield pd.concat([pdf, res], axis=1)
+
+    return batch.mapInPandas(run, schema=out_schema)
