@@ -90,3 +90,37 @@ def test_series_wrapper_handles_bytes():
     )
     assert out.iloc[0]["links"] == ["http://b.example/"]
     assert out.iloc[1]["links"] == []
+
+
+def test_property_random_attr_order_and_quoting():
+    """Property: for any attribute ordering / quoting style / whitespace
+    mix, the kernels recover exactly the attrs we embedded."""
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(200):
+        href = f"http://p{trial}.example/x{rng.randint(0, 999)}"
+        alt = f"alt {trial}" if rng.random() < 0.5 else None
+        w = rng.randint(1, 500)
+        extra = [("data-x", f"v{trial}"), ("class", "a b"), ("hidden", None)]
+        rng.shuffle(extra)
+
+        def render(name, val):
+            if val is None:
+                return name
+            q = rng.choice(['"', "'", ""])
+            if q == "" and (" " in val or ">" in val):
+                q = '"'
+            ws = rng.choice(["=", " = ", "= ", " ="])
+            return f"{name}{ws}{q}{val}{q}"
+
+        attrs = [("href", href)] + extra + ([("alt", alt)] if alt else [])
+        rng.shuffle(attrs)
+        sep = rng.choice([" ", "\n  ", "\t"])
+        tag = "<a" + sep + sep.join(render(n, v) for n, v in attrs) + ">"
+        html = f"<html><body>{tag}x</a><img{sep}width={w}{sep}src='{href}.png'></body></html>"
+        d = htmlparse.parse_document(html)
+        assert d["links"] == [href], (trial, tag, d["links"])
+        assert d["images"] == [
+            {"src": href + ".png", "alt": None, "width": w, "height": None}
+        ], (trial, d["images"])
