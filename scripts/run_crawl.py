@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--shards", type=int, default=32)
     ap.add_argument("--oracle", action="store_true", help="batch-of-1 exact pop order")
     ap.add_argument("--force-rescrape", action="store_true")
+    ap.add_argument("--retry-count", type=int, default=3,
+                    help="T7: max fetch attempts per url (scraper.c:56 default)")
+    ap.add_argument("--retry-delay", type=int, default=5,
+                    help="T7: backoff in generations per prior attempt (scraper.c:57)")
     ap.add_argument("--resume", action="store_true", help="continue existing catalog")
     ap.add_argument("--max-generations", type=int, default=1000)
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -60,6 +64,8 @@ def main():
         num_shards=args.shards,
         oracle_mode=args.oracle,
         force_rescrape=args.force_rescrape,
+        retry_count=args.retry_count,
+        retry_delay=args.retry_delay,
     )
 
     t0 = time.perf_counter()
