@@ -332,6 +332,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["seen_membership_sketch"] = q_seen_membership_sketch
 
+    def q_seen_membership_bucketed(spark, sf_dir):
+        """Same answer again, via the round-3 SHARD-ALIGNED path: the seen
+        set committed bucket-pure (Catalog.stage_append_cow) and membership
+        verified by filter_unseen_files — bloom probe + direct pyarrow read
+        of only the touched shards' files, the seen table never planned as
+        a join side. Oracle = the same anti-join SQL, proving the storage
+        layout + file probe change nothing."""
+        import atexit
+        import shutil
+        import tempfile
+
+        from web_scraper_spark.catalog import Catalog
+        from web_scraper_spark.functions.urlops import shard_expr
+        from web_scraper_spark.operators import seen as seen_ops
+
+        o = _t(spark, sf_dir, "orders")
+        seen = o.select(
+            F.sha1(F.col("o_orderkey").cast("string")).alias("url_sha1")
+        ).withColumn("shard", shard_expr(F.col("url_sha1"), 16))
+        root = tempfile.mkdtemp(prefix="wss_seenb_", dir="/tmp")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        cat = Catalog(spark, root)
+        cat.stage_append_cow("seen", seen, "shard")
+        cat.commit(generation=0, t0=0.0)
+        cand = (
+            spark.range(1, 20001)
+            .select(F.col("id").alias("key"))
+            .withColumn("url_sha1", F.sha1(F.col("key").cast("string")))
+            .withColumn("shard", shard_expr(F.col("url_sha1"), 16))
+        )
+        sk = seen_ops.build_sketches(seen, capacity=4096)
+        out = seen_ops.filter_unseen(
+            cand, None, sk, bucket_files=cat.bucket_files("seen")
+        )
+        return out.select("key")
+
+    q["seen_membership_bucketed"] = q_seen_membership_bucketed
+
     # ---------------- text analysis (P8-P13 + pipeline)
     def _docs(spark, sf_dir):
         return _t(spark, sf_dir, "documents")
@@ -431,45 +469,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_embedding_sig_neardup(spark, sf_dir):
         """16-bit sign signature of the embedding (the phash analog) →
-        LSH band self-join → hamming <= 2 pairs; oracle = exact O(n²) SQL."""
+        LSH band self-join → hamming <= 2 pairs; oracle = exact O(n²) SQL.
+        Band config is parametrized with a pigeonhole-exactness assert
+        (simsearch.sign_sig_pairs — round-3 item 8)."""
         e = _emb(spark, sf_dir)
-        bits = [
-            F.when(F.col("embedding")[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
-            for i in range(16)
-        ]
-        sig = bits[0]
-        for b in bits[1:]:
-            sig = sig + b
-        s = e.select("vec_id", sig.cast("bigint").alias("sig"))
-        bands = s.select(
-            "vec_id",
-            "sig",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.shiftrightunsigned(F.col("sig"), b * 4)
-                            .bitwiseAND(F.lit(0xF))
-                            .alias("bv"),
-                        )
-                        for b in range(4)
-                    ]
-                )
-            ).alias("bb"),
-        ).select("vec_id", "sig", "bb.band", "bb.bv")
-        a = bands.select(F.col("vec_id").alias("vec_a"), F.col("sig").alias("sa"), "band", "bv")
-        bb = bands.select(F.col("vec_id").alias("vec_b"), F.col("sig").alias("sb"), "band", "bv")
-        return (
-            a.join(bb, ["band", "bv"])
-            .filter(F.col("vec_a") < F.col("vec_b"))
-            .select(
-                "vec_a",
-                "vec_b",
-                F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
-            )
-            .dropDuplicates(["vec_a", "vec_b"])
-            .filter(F.col("hamming") <= 2)
+        return simsearch.sign_sig_pairs(
+            e, sig_bits=16, n_bands=4, max_hamming=2
         )
 
     q["embedding_sig_neardup"] = q_embedding_sig_neardup
@@ -578,6 +583,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # result dir outlives the catalog tmpdir cleanup below
             pages.write.mode("overwrite").parquet(out_dir)
             shutil.rmtree(crawl_dir, ignore_errors=True)
+            # the result dir must outlive this call (lazy return value) but
+            # not the process: remove it at interpreter exit instead of
+            # leaking one /tmp/wss_smoke_* per bench/correctness run
+            import atexit
+
+            atexit.register(shutil.rmtree, root, ignore_errors=True)
             return spark.read.parquet(out_dir)
         except BaseException:
             shutil.rmtree(root, ignore_errors=True)
@@ -739,6 +750,7 @@ def oracle_sql() -> dict[str, str]:
       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = gs.key)
     """
     o["seen_membership_sketch"] = o["seen_membership"]
+    o["seen_membership_bucketed"] = o["seen_membership"]
 
     o["sentiment"] = _sentiment_oracle_sql()
     o["lang_id"] = f"SELECT doc_id, {ta.lang_id_sql('text')} AS lang_pred FROM documents"

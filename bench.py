@@ -143,6 +143,47 @@ def bench_seen_sketch_dedup(spark):
     return seen_ops.filter_unseen(cand, seen, sk).count()
 
 
+def make_bench_seen_bucketed(spark):
+    """Round-3 shard-aligned path: the SAME membership workload as
+    seen_sketch_dedup, but the exact check reads the bucket-pure seen
+    table's files shard-aligned (filter_unseen_files) instead of planning
+    the whole seen table as an anti-join build side. Table + sketches are
+    built once during setup (untimed — they are crawl-commit costs, not
+    per-probe costs); the timed thunk is the per-generation probe."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from web_scraper_spark.catalog import Catalog
+    from web_scraper_spark.functions.urlops import shard_expr
+    from web_scraper_spark.operators import seen as seen_ops
+
+    n_seen, n_cand, shards = 200_000, 400_000, 64
+    root = tempfile.mkdtemp(prefix="wss_bench_seen_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    seen = (
+        spark.range(0, n_seen, 1, CPUS)
+        .select(F.sha1(F.col("id").cast("string")).alias("url_sha1"))
+        .withColumn("shard", shard_expr(F.col("url_sha1"), shards))
+    )
+    cat = Catalog(spark, root)
+    cat.stage_append_cow("seen", seen, "shard")
+    cat.commit(generation=0, t0=0.0)
+    bf = cat.bucket_files("seen")
+    sk = seen_ops.build_sketches(seen, capacity=1 << 14).persist()
+    sk.count()
+    cand = (
+        spark.range(0, n_cand, 1, CPUS)
+        .select(F.sha1(F.col("id").cast("string")).alias("url_sha1"))
+        .withColumn("shard", shard_expr(F.col("url_sha1"), shards))
+    )
+
+    def thunk():
+        return seen_ops.filter_unseen(cand, None, sk, bucket_files=bf).count()
+
+    return thunk
+
+
 def bench_queries(spark):
     """Name → thunk returning a row count (forces full execution)."""
     import __spark_entry__ as em
@@ -156,6 +197,7 @@ def bench_queries(spark):
         "crawl_generation": lambda: bench_crawl_generation(spark),
         "crawl_fetch_extract": lambda: bench_crawl_fetch_extract(spark),
         "seen_sketch_dedup": lambda: bench_seen_sketch_dedup(spark),
+        "seen_bucketed_dedup": make_bench_seen_bucketed(spark),
         "pricing_summary": run("pricing_summary"),
         "trend_topk": run("trend_topk"),
         "link_2hop": run("link_2hop"),
@@ -174,27 +216,42 @@ def bench_queries(spark):
     }
 
 
+RUNS = int(os.environ.get("WSS_BENCH_RUNS", "3"))
+
+
 def main():
     from web_scraper_spark.session import get_spark
 
     spark = get_spark("wss-bench", cores=CPUS, shuffle_partitions=max(CPUS, 16))
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    # n>=3 runs per query, report MEDIANS + spread (round-2 verdict item 2:
+    # a single run cannot distinguish a real regression from machine load).
+    # `value` = sum of per-query medians — comparable to the old single-run
+    # suite time, minus warmup/load noise.
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     counts: dict[str, int] = {}
-    total0 = time.perf_counter()
     for name, thunk in bench_queries(spark).items():
-        t0 = time.perf_counter()
-        counts[name] = thunk()
-        timings[name] = round(time.perf_counter() - t0, 3)
-    total = round(time.perf_counter() - total0, 3)
+        ts = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            counts[name] = thunk()
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        timings[name] = round(ts[len(ts) // 2], 3)
+        spread[name] = [round(ts[0], 3), round(ts[-1], 3)]
+    total = round(sum(timings.values()), 3)
     urls_per_sec = round((FRONTIER_URLS) / timings["crawl_generation"], 1)
     print(
         json.dumps(
             {
-                "metric": "headline suite wall time (crawl generation + dedup + pipeline ops)",
+                "metric": "headline suite time, sum of per-query medians over "
+                f"{RUNS} runs (crawl generation + dedup + pipeline ops)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "runs": RUNS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "urls_per_sec": urls_per_sec,
                 "frontier_urls": FRONTIER_URLS,

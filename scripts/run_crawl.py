@@ -44,6 +44,14 @@ def main():
                     help="T7: max fetch attempts per url (scraper.c:56 default)")
     ap.add_argument("--retry-delay", type=int, default=5,
                     help="T7: backoff in generations per prior attempt (scraper.c:57)")
+    ap.add_argument("--transport", choices=("synth", "http"), default="synth",
+                    help="synth = deterministic synthetic web; http = REAL "
+                         "urllib transport (seeds must then be real URLs — "
+                         "pass --seed-url; robots.txt fetched over the wire)")
+    ap.add_argument("--seed-url", action="append", default=[],
+                    help="seed URL for --transport http (repeatable)")
+    ap.add_argument("--user-agent", default="WebScraperBot/1.0")
+    ap.add_argument("--request-timeout", type=int, default=30)
     ap.add_argument("--resume", action="store_true", help="continue existing catalog")
     ap.add_argument("--max-generations", type=int, default=1000)
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -66,17 +74,23 @@ def main():
         force_rescrape=args.force_rescrape,
         retry_count=args.retry_count,
         retry_delay=args.retry_delay,
+        transport=args.transport,
+        user_agent=args.user_agent,
+        request_timeout=args.request_timeout,
     )
+    if args.transport == "http" and not (args.seed_url or args.resume):
+        ap.error("--transport http requires --seed-url (or --resume)")
 
     t0 = time.perf_counter()
     if args.resume and os.path.exists(os.path.join(args.catalog, "_manifests", "CURRENT")):
         cat = Catalog(spark, args.catalog)
         cat = resume_crawl(cat, cfg, web, max_generations=args.max_generations)
     else:
-        seeds = spark.createDataFrame(
-            [(r["url"], r["priority"]) for r in synth.seed_url_rows(web)],
-            ["url", "priority"],
-        )
+        if args.transport == "http":
+            seed_rows = [(u, 0) for u in args.seed_url]
+        else:
+            seed_rows = [(r["url"], r["priority"]) for r in synth.seed_url_rows(web)]
+        seeds = spark.createDataFrame(seed_rows, ["url", "priority"])
         cat = run_crawl(spark, args.catalog, seeds, cfg, web, max_generations=args.max_generations)
     wall = time.perf_counter() - t0
 

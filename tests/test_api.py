@@ -72,6 +72,54 @@ class TestTrendingTopics:
             assert got == base, f"parts={parts}"
 
 
+class TestTrendPayload:
+    def test_related_and_sources_complete_payload(self, spark, crawled):
+        """trend_data_t completeness (types.h:31-39): every top-k row
+        carries related_topics (co-occurring, latest generation) and
+        sources (top hosts), deterministically ordered, and both are
+        partitioning-invariant."""
+        cat, _, _ = crawled
+        out = api.trending_topics(cat, k=5).collect()
+        assert out, "crawl produced topics"
+        pages = cat.read("pages").collect()
+        hosts = {r["host"] for r in pages}
+        for r in out:
+            assert isinstance(r["related_topics"], list)
+            assert isinstance(r["sources"], list)
+            assert len(r["sources"]) >= 1  # topic came from some page
+            assert set(r["sources"]) <= hosts
+            assert r["topic"] not in r["related_topics"]
+        # deterministic under physical partitioning
+        base = {r["topic"]: (tuple(r["related_topics"]), tuple(r["sources"])) for r in out}
+        pg = cat.read("pages").repartition(7)
+
+        class _FakeCat:
+            def read(self, t):
+                return pg if t == "pages" else None
+
+        got = {
+            r["topic"]: (tuple(r["related_topics"]), tuple(r["sources"]))
+            for r in api.trending_topics(_FakeCat(), k=5).collect()
+        }
+        assert got == base
+
+    def test_sources_are_topic_hosts(self, spark, crawled):
+        """sources must be exactly the most frequent hosts among pages
+        carrying the topic (count desc, host asc) — checked against a
+        driver-side recomputation."""
+        from collections import Counter
+
+        cat, _, _ = crawled
+        out = api.trending_topics(cat, k=3, n_related=2).collect()
+        pages = cat.read("pages").collect()
+        for r in out:
+            c = Counter(
+                p["host"] for p in pages for t in (p["topics"] or []) if t == r["topic"]
+            )
+            expect = [h for h, _ in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:2]]
+            assert r["sources"] == expect, r["topic"]
+
+
 class TestClearUrl:
     def test_invalidate_then_unseen(self, spark, crawled):
         cat, web, cfg = crawled

@@ -124,3 +124,37 @@ def test_property_random_attr_order_and_quoting():
         assert d["images"] == [
             {"src": href + ".png", "alt": None, "width": w, "height": None}
         ], (trial, d["images"])
+
+
+class TestUnterminatedScriptStyle:
+    def test_truncated_script_extends_to_eof(self):
+        """A page cut mid-<script> (exactly what the 1 MB response cap
+        produces) must treat the rest of the document as script body —
+        libxml2-recover behavior — so JS string literals like
+        '<a href=...' never become links."""
+        from web_scraper_spark.functions.htmlparse import parse_document
+
+        html = (
+            '<html><head><title>ok</title></head><body>'
+            '<a href="/real">r</a>'
+            '<script>var s = "<a href=\'/fake1\'>x</a>"; '
+            'document.write("<a href=/fake2>");'  # no closing </script>
+        )
+        d = parse_document(html)
+        assert d["links"] == ["/real"]
+        assert d["title"] == "ok"
+
+    def test_terminated_script_still_bounded(self):
+        from web_scraper_spark.functions.htmlparse import parse_document
+
+        html = (
+            '<body><script>var s = "<a href=/fake>";</script>'
+            '<a href="/after">a</a></body>'
+        )
+        assert parse_document(html)["links"] == ["/after"]
+
+    def test_unterminated_style_eats_tail(self):
+        from web_scraper_spark.functions.htmlparse import parse_document
+
+        html = '<body><a href="/k">k</a><style>.x { content: "<a href=/f>"; }'
+        assert parse_document(html)["links"] == ["/k"]

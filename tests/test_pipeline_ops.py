@@ -276,3 +276,114 @@ class TestSimilarity:
         }
         recall = len(approx & exact) / len(exact)
         assert recall >= 0.5, recall
+
+
+class TestNgramDocFreqPruning:
+    def test_default_stays_oracle_exact_and_pruned_is_subset(self, spark):
+        """max_doc_freq=None keeps the exact semantics (the oracled
+        default); with pruning, results are a subset whose jaccard is a
+        conservative lower bound — only boilerplate-driven pairs drop."""
+        rows = []
+        boiler = "all rights reserved contact us terms of service apply here"
+        for i in range(30):
+            rows.append((i, f"unique document body number {i} " * 3 + boiler))
+        # one true near-dup pair sharing real content
+        rows.append((100, "the quick brown fox jumps over the lazy dog " * 4))
+        rows.append((101, "the quick brown fox jumps over the lazy dog " * 4 + "tail"))
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        exact = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedupops.ngram_jaccard_pairs(docs, threshold=0.3, n=6).collect()
+        }
+        pruned = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedupops.ngram_jaccard_pairs(
+                docs, threshold=0.3, n=6, max_doc_freq=5
+            ).collect()
+        }
+        assert pruned <= exact
+        assert (100, 101) in pruned  # real near-dup survives pruning
+
+    def test_hot_shingle_join_volume_bounded(self, spark):
+        """On a corpus where every doc shares one boilerplate sentence, the
+        unpruned inverted index joins the hot shingles n²-style; with
+        max_doc_freq the per-key fan-out is capped, so the intersection
+        row count stays near-linear while the unpruned one grows ~n²."""
+        boiler = "standard footer text shared by every page on this site always"
+
+        def corpus(n):
+            return spark.createDataFrame(
+                [(i, f"document {i} private words number{i} " + boiler) for i in range(n)],
+                ["doc_id", "text"],
+            )
+
+        def inter_rows(df, mdf):
+            sh = df.select(
+                F.col("doc_id").alias("id"),
+                dedupops.shingles_expr(F.col("text"), 6).alias("sh"),
+            )
+            ex = sh.select("id", F.explode("sh").alias("g"))
+            if mdf is not None:
+                keep = (
+                    ex.groupBy("g").count().filter(F.col("count") <= mdf).select("g")
+                )
+                ex = ex.join(keep, "g", "left_semi")
+            a = ex.select(F.col("id").alias("x"), "g")
+            b = ex.select(F.col("id").alias("y"), "g")
+            return a.join(b, "g").filter(F.col("x") < F.col("y")).count()
+
+        n1, n2 = 40, 160
+        un1, un2 = inter_rows(corpus(n1), None), inter_rows(corpus(n2), None)
+        pr1, pr2 = inter_rows(corpus(n1), 10), inter_rows(corpus(n2), 10)
+        # unpruned grows superlinearly (boilerplate keys ~ n² pairs)
+        assert un2 / un1 > 8, (un1, un2)
+        # pruned growth is bounded ~linearly
+        assert pr2 / max(pr1, 1) < 6, (pr1, pr2)
+
+
+class TestSignSigBands:
+    def _vecs(self, spark, n=120, dim=16):
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)
+        ]
+        # a few near-dup pairs: flip one coordinate's sign
+        for j in range(5):
+            base = rows[j][1][:]
+            base[3] = -base[3]
+            rows.append((1000 + j, base))
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_band_config_invariance(self, spark):
+        """Exactness must be independent of the band parametrization
+        whenever the pigeonhole condition holds (same contract as
+        simhash_pairs): 4×4-bit ≡ 8×2-bit ≡ 16×1-bit bands."""
+        from web_scraper_spark.functions import simsearch
+
+        df = self._vecs(spark)
+        base = {
+            (r["vec_a"], r["vec_b"], r["hamming"])
+            for r in simsearch.sign_sig_pairs(df, sig_bits=16, n_bands=4).collect()
+        }
+        assert base, "corpus should contain near-dup signature pairs"
+        for nb in (8, 16):
+            got = {
+                (r["vec_a"], r["vec_b"], r["hamming"])
+                for r in simsearch.sign_sig_pairs(
+                    df, sig_bits=16, n_bands=nb, max_hamming=2
+                ).collect()
+            }
+            assert got == base, nb
+
+    def test_pigeonhole_guard(self, spark):
+        from web_scraper_spark.functions import simsearch
+
+        df = self._vecs(spark, n=4)
+        with pytest.raises(ValueError, match="pigeonhole"):
+            simsearch.sign_sig_pairs(df, sig_bits=16, n_bands=2, max_hamming=2)
+        with pytest.raises(ValueError, match="divisible"):
+            simsearch.sign_sig_pairs(df, sig_bits=16, n_bands=3)
+        with pytest.raises(ValueError, match="overflow"):
+            simsearch.sign_sig_pairs(df, sig_bits=64, n_bands=8, max_hamming=2)

@@ -169,3 +169,37 @@ class TestTtlRefresh:
         # no robots table at all
         need = {r["host"] for r in hosts_needing_robots(batch, None, now=0).collect()}
         assert need == {"h0.test", "h1.test", "h2.test"}
+
+
+class TestLatestRulesTieBreak:
+    def test_equal_fetched_at_applies_exactly_one_fetch(self, spark):
+        """Two fetches for one host tied at max(fetched_at) (e.g. a
+        fetched_at=0 corpus built twice) must resolve to exactly ONE
+        fetch's rule set — overwrite-on-refetch (robots_parser.c:282-283
+        DELETE+SET), never a mix of both."""
+        from web_scraper_spark.operators.robots import latest_rules, rules_from_corpus
+
+        c1 = spark.createDataFrame(
+            [("h.example", "User-agent: *\nDisallow: /a\n")], ["host", "body"]
+        )
+        c2 = spark.createDataFrame(
+            [("h.example", "User-agent: *\nDisallow: /b\n")], ["host", "body"]
+        )
+        r1 = rules_from_corpus(c1, fetched_at=0, fetch_seq=1)
+        r2 = rules_from_corpus(c2, fetched_at=0, fetch_seq=2)
+        live = latest_rules(r1.unionByName(r2)).collect()
+        pats = {r["path_pattern"] for r in live}
+        # only the later fetch (seq 2) applies
+        assert pats == {"/b"}, pats
+
+    def test_pre_v3_table_without_fetch_seq_still_works(self, spark):
+        """Tables written before schema_v 3 lack fetch_seq; latest_rules
+        must degrade to the old fetched_at-only behavior, not fail."""
+        from web_scraper_spark.operators.robots import latest_rules, rules_from_corpus
+
+        c = spark.createDataFrame(
+            [("h.example", "User-agent: *\nDisallow: /old\n")], ["host", "body"]
+        )
+        legacy = rules_from_corpus(c, fetched_at=5).drop("fetch_seq")
+        live = latest_rules(legacy).collect()
+        assert {r["path_pattern"] for r in live} == {"/old"}

@@ -206,3 +206,78 @@ class TestStreamingCrawlEndToEnd:
         for r in got2:
             if r["url"] in new_urls and r["host"] in by_host_last:
                 assert r["fetch_time"] >= by_host_last[r["host"]] + 0.999, r
+
+
+class TestStreamingRobotsAndFailures:
+    def test_disallowed_never_fetched_failures_routed_resume_exact(self, spark, tmp_path):
+        """Round-3 parity: the stream composes the SAME broadcast robots
+        decision the batch engine uses (a disallowed url never reaches the
+        gate, the transport, or any sink), transport failures land in the
+        failures sink instead of vanishing, and a checkpoint restart keeps
+        the dedup store exact across both new sinks."""
+        import os
+
+        from web_scraper_spark.operators.robots import rules_from_corpus
+        from web_scraper_spark.streaming.crawl_stream import streaming_crawl
+        from web_scraper_spark.synth import SynthWebConfig, host_name, page_url
+
+        # fail_rate seeds deterministic transport failures on known pages
+        web = SynthWebConfig(n_hosts=2, pages_per_host=20, fail_rate=0.25)
+        frontier = str(tmp_path / "frontier")
+        pages = str(tmp_path / "pages")
+        fails_dir = str(tmp_path / "fails")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(frontier, exist_ok=True)
+
+        corpus = spark.createDataFrame(
+            [(host_name(k), "User-agent: *\nDisallow: /private/*\n") for k in range(2)],
+            ["host", "body"],
+        )
+        robots = rules_from_corpus(corpus, fetched_at=0)
+
+        def drop(rows):
+            spark.createDataFrame(
+                rows, "url string, priority int, event_time double"
+            ).coalesce(1).write.mode("append").parquet(frontier)
+
+        batch1 = [(page_url(k, j), 1, 0.0) for k in range(2) for j in range(10)]
+        private1 = {u for u, _, _ in batch1 if "/private/" in u}
+        assert private1  # j % 10 == 7 pages exist in range(10)
+        drop(batch1)
+        q = streaming_crawl(
+            spark, frontier, pages, ckpt, web,
+            robots=robots, failures_dir=fails_dir,
+        )
+        q.awaitTermination()
+
+        got = spark.read.parquet(pages).collect()
+        page_urls = {r["url"] for r in got}
+        failed_urls = (
+            {r["url"] for r in spark.read.parquet(fails_dir).collect()}
+            if os.path.exists(fails_dir) and os.listdir(fails_dir)
+            else set()
+        )
+        # robots honored BEFORE fetch: disallowed urls in NO sink
+        assert not (page_urls & private1)
+        assert not (failed_urls & private1)
+        # failures routed, disjoint from pages, and together they cover
+        # every allowed url exactly once
+        allowed1 = {u for u, _, _ in batch1} - private1
+        assert failed_urls  # fail_rate=0.25 over 16 allowed urls
+        assert not (page_urls & failed_urls)
+        assert page_urls | failed_urls == allowed1
+
+        # restart from checkpoint: overlap + new urls; dedup state must
+        # hold across the foreachBatch sink path too
+        batch2 = [(page_url(k, j), 1, 0.0) for k in range(2) for j in range(5, 15)]
+        drop(batch2)
+        q2 = streaming_crawl(
+            spark, frontier, pages, ckpt, web,
+            robots=robots, failures_dir=fails_dir,
+        )
+        q2.awaitTermination()
+        got2_urls = [r["url"] for r in spark.read.parquet(pages).collect()]
+        # no url fetched twice (exactly-once across restarts)
+        assert len(got2_urls) == len(set(got2_urls))
+        all_private = {u for u, _, _ in batch1 + batch2 if "/private/" in u}
+        assert not (set(got2_urls) & all_private)

@@ -258,6 +258,76 @@ class Catalog:
         self._staged[table] = entry
         return entry
 
+    def stage_append_cow(
+        self,
+        table: str,
+        delta: DataFrame,
+        bucket_col: str = "shard",
+        snapshot: Snapshot | None = None,
+    ) -> dict:
+        """Bucket-pure APPEND (the Iceberg fast-append onto a
+        bucket-partitioned table): write ONLY the delta's files,
+        partitioned by `bucket_col`; the new manifest = the parent's
+        per-bucket lineage + this delta's per-bucket files. Write cost is
+        O(delta) like stage_append, but file-level bucket lineage survives,
+        so readers can open exactly the buckets they need (bucket_files) —
+        what makes the seen-set anti-join shard-aligned instead of an
+        O(table) shuffle every generation.
+
+        The delta is pre-shuffled by bucket so each touched bucket lands in
+        ~one new file per generation (without this, every write task emits
+        one file per bucket it happens to hold → file-count explosion).
+
+        If the parent was last staged WITHOUT bucket lineage (plain
+        stage/stage_append — e.g. a legacy table), this degrades to a plain
+        append: parent files + delta files, no `buckets` key. Readers fall
+        back to the whole-table path until the next stage_cow/compaction
+        re-establishes lineage; correctness is unaffected."""
+        from pyspark.sql import functions as F
+
+        snap = snapshot or self.current_snapshot()
+        parent = snap.tables.get(table) if snap and table in snap.tables else None
+        new_buckets = self._write_version_cow(
+            table, delta.repartition(F.col(bucket_col)), bucket_col
+        )
+        new_files = [f for b in sorted(new_buckets, key=str) for f in new_buckets[b]]
+        if parent is not None and "buckets" not in parent:
+            files = list(parent["files"]) + new_files
+            entry = {"files": files, "rows": sum(f["rows"] for f in files)}
+            self._staged[table] = entry
+            return entry
+        merged: dict[str, list[dict]] = (
+            {b: list(fs) for b, fs in parent["buckets"].items()} if parent else {}
+        )
+        for b, fs in new_buckets.items():
+            merged.setdefault(b, []).extend(fs)
+        files = [f for b in sorted(merged, key=str) for f in merged[b]]
+        entry = {
+            "files": files,
+            "rows": sum(f["rows"] for f in files),
+            "buckets": merged,
+        }
+        self._staged[table] = entry
+        return entry
+
+    def bucket_files(
+        self, table: str, snapshot: Snapshot | None = None
+    ) -> dict[str, list[str]] | None:
+        """{bucket: [absolute parquet paths]} for a bucket-pure table, or
+        None when the table is absent / has no bucket lineage. This is the
+        manifest-level pruning seam: a reader that knows its buckets opens
+        ONLY those files — untouched buckets cost nothing."""
+        snap = snapshot or self.current_snapshot()
+        if snap is None or table not in snap.tables:
+            return None
+        entry = snap.tables[table]
+        if "buckets" not in entry:
+            return None
+        return {
+            b: [os.path.join(self.root, table, f["path"]) for f in fs]
+            for b, fs in entry["buckets"].items()
+        }
+
     # ------------------------------------------------------------- commit
     def commit(self, generation: int, t0: float, metrics: dict | None = None) -> Snapshot:
         """Atomically publish all staged tables as the next snapshot."""

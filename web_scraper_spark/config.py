@@ -42,6 +42,21 @@ class CrawlConfig:
     retry_count: int = 3          # scraper.c:56
     retry_delay: int = 5          # scraper.c:57
 
+    # Transport selection: "synth" (deterministic synthetic web — every
+    # correctness test) or "http" (real urllib transport, fetch_url.c
+    # semantics — pages AND robots.txt fetched over the wire, with
+    # request_timeout / user_agent / retry_count honored). Same operator
+    # boundary either way, so the crawl plan is identical.
+    transport: str = "synth"
+    # per-partition I/O thread pool for the http transport (the reference's
+    # 8-worker-thread analog, scraper.c:21; multiplies across Spark tasks)
+    http_concurrency: int = 8
+    # IN-BATCH transport retries for the http transport. Deliberately a
+    # separate small constant from retry_count: retry_count is the
+    # CROSS-generation T7 fetch_failures budget; wiring it here too would
+    # yield up to retry_count² attempts per URL and skew urls_failed.
+    http_inbatch_retries: int = 0
+
     # Engine knobs (no reference analog — Spark-side scale controls)
     seed: int = 42
     horizon: float = 8.0          # politeness window length per generation (s)

@@ -82,17 +82,43 @@ def ngram_jaccard_pairs(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """EXACT Jaccard similarity self-join on n-gram shingle sets.
 
     (doc_a, doc_b, jaccard) for all pairs with jaccard >= threshold, a < b.
     Inverted-index equi-join on the shingle (no cartesian): |∩| by count of
     shared shingles, |∪| = |A|+|B|-|∩|.
+
+    max_doc_freq (default None = oracle-exact) bounds the inverted-index
+    fan-out on skewed corpora: a shingle appearing in more than
+    max_doc_freq documents (boilerplate — headers, license blurbs) is
+    dropped from the index BEFORE the self-join, capping any single join
+    key's pair production at max_doc_freq² instead of hot_count². The
+    pruned shingles still count toward |A| and |B| (set sizes are taken
+    pre-pruning), so jaccard becomes a conservative LOWER bound: pruning
+    can only drop pairs whose overlap is mostly boilerplate — the pairs
+    that are near-dups because they share real content keep their common
+    (rare) shingles and survive. This is the standard doc-frequency cut
+    from the dedup literature, and the companion candidate-growth test
+    pins the sub-quadratic behavior on a hot-shingle corpus.
     """
     sh = docs.select(
         F.col(id_col).alias("id"), shingles_expr(F.col(text_col), n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     ex = sh.select("id", "n_sh", F.explode("sh").alias("g"))
+    if max_doc_freq is not None:
+        # doc-frequency per shingle: one small agg over the index; the
+        # rare-shingle filter is a broadcast-friendly semi-join shape
+        # (Catalyst plans it as a shuffled semi-join when the hot set is
+        # large — either way the index shrinks before the n² join)
+        keep = (
+            ex.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("g")
+        )
+        ex = ex.join(keep, "g", "left_semi")
     a = ex.select(F.col("id").alias("doc_a"), F.col("n_sh").alias("na"), "g")
     b = ex.select(F.col("id").alias("doc_b"), F.col("n_sh").alias("nb"), "g")
     inter = (

@@ -31,7 +31,13 @@ from html import unescape
 import pandas as pd
 
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
-_SCRIPT_STYLE_RE = re.compile(r"<(script|style)\b.*?</\1\s*>", re.IGNORECASE | re.DOTALL)
+# a missing closing tag extends the body to EOF (libxml2-recover treats the
+# rest of a truncated document as script/style — exactly what the 1 MB
+# response cap produces, fetch.py MAX_RESPONSE_SIZE): lazy .*? prefers the
+# real closing tag when present, else the \\Z alternative eats to the end.
+_SCRIPT_STYLE_RE = re.compile(
+    r"<(script|style)\b.*?(?:</\1\s*>|\Z)", re.IGNORECASE | re.DOTALL
+)
 
 # one attribute: name [= "dq" | 'sq' | bare]
 _ATTR_RE = re.compile(

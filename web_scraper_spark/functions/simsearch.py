@@ -111,6 +111,87 @@ def cosine_dup_pairs(
     )
 
 
+def sign_sig_expr(vec: Column, sig_bits: int = 16) -> Column:
+    """Sign signature of an embedding (the phash analog for vectors):
+    bit i set iff vec[i] > 0. Pure JVM expression, codegen'd."""
+    sig = None
+    for i in range(sig_bits):
+        b = F.when(vec[i] > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = b if sig is None else sig + b
+    return sig.cast("bigint")
+
+
+def sign_sig_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sig_bits: int = 16,
+    n_bands: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """EXACT sign-signature near-dup pairs via an LSH band equi-join.
+
+    (vec_a, vec_b, hamming) for all a < b with hamming(sig_a, sig_b) <=
+    max_hamming. Pigeonhole exactness (asserted, same contract as
+    simhash_pairs): a pair within max_hamming differs in at most
+    max_hamming of the n_bands band values, so with max_hamming < n_bands
+    at least one band matches exactly — the band equi-join loses nothing.
+
+    Parametrized (round-3 item 8): band width = sig_bits / n_bands sets
+    the bucket space per band (2^width buckets). The round-2 default
+    (16-bit sig, 4×4-bit bands = 16 buckets/band) saturates at 10⁹⁺
+    vectors; at that scale use e.g. sig_bits=60, n_bands=6 → 10-bit bands
+    = 1024 buckets/band (and a tighter hamming budget), keeping each
+    band-bucket join group sub-quadratic. Exactness is independent of the
+    band config whenever the pigeonhole condition holds — pinned by
+    test_pipeline_ops."""
+    if sig_bits % n_bands:
+        raise ValueError(f"sig_bits {sig_bits} not divisible by n_bands {n_bands}")
+    if not max_hamming < n_bands:
+        raise ValueError(
+            f"pigeonhole violated: need max_hamming ({max_hamming}) < n_bands "
+            f"({n_bands}) for the band join to be exact"
+        )
+    if sig_bits > 63:
+        raise ValueError("sig_bits > 63 overflows the bigint signature")
+    width = sig_bits // n_bands
+    mask = (1 << width) - 1
+    s = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        sign_sig_expr(F.col(vec_col), sig_bits).alias("sig"),
+    )
+    bands = s.select(
+        "vec_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "sig", "bb.band", "bb.bv")
+    a = bands.select(F.col("vec_id").alias("vec_a"), F.col("sig").alias("sa"), "band", "bv")
+    b = bands.select(F.col("vec_id").alias("vec_b"), F.col("sig").alias("sb"), "band", "bv")
+    return (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # --------------------------------------------------------------------------
 # LSH (random hyperplanes, deterministic)
 # --------------------------------------------------------------------------

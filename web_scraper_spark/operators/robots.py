@@ -172,12 +172,18 @@ def parse_robots_udf(body: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"rules": rules_col, "crawl_delay": delay_col})
 
 
-def rules_from_corpus(corpus: DataFrame, fetched_at: int) -> DataFrame:
+def rules_from_corpus(
+    corpus: DataFrame, fetched_at: int, fetch_seq: int | None = None
+) -> DataFrame:
     """(host, body) → ROBOTS-schema rules table.
 
     Hosts with a body but zero rules still emit one ``(host, 'none', '')``
     sentinel row so T4's "robots already fetched?" anti-join (EXISTS analog,
     robots_parser.c:191-199) sees them as cached.
+
+    fetch_seq (default: fetched_at) is the tie-break identity latest_rules
+    uses when two fetches for one host share a timestamp — the crawl loop
+    passes its generation number, which is strictly monotone.
     """
     parsed = corpus.select(
         "host",
@@ -194,6 +200,9 @@ def rules_from_corpus(corpus: DataFrame, fetched_at: int) -> DataFrame:
         F.length(F.coalesce(F.col("r.path_pattern"), F.lit(""))).alias("rule_len"),
         "crawl_delay",
         F.lit(fetched_at).cast("long").alias("fetched_at"),
+        F.lit(fetched_at if fetch_seq is None else fetch_seq)
+        .cast("long")
+        .alias("fetch_seq"),
     )
     return exploded
 
@@ -228,12 +237,22 @@ def latest_rules(robots: DataFrame) -> DataFrame:
     DELETEs then re-SETs the host key). Without this filter, stale rules
     from expired fetches would keep applying forever as the table accretes
     per-generation appends. The window runs over the rules table only —
-    small (one row per rule), never over the frontier."""
+    small (one row per rule), never over the frontier.
+
+    Ties at max(fetched_at) — e.g. a fetched_at=0 test corpus built twice,
+    or a same-second refresh — are broken by fetch_seq so exactly ONE
+    fetch's rules apply per host (overwrite-on-refetch, never a mix).
+    Tables written before schema_v 3 lack fetch_seq; fetched_at doubles as
+    the (coarser) key there, preserving the old behavior."""
+    seq = (
+        F.col("fetch_seq") if "fetch_seq" in robots.columns else F.col("fetched_at")
+    )
     w = Window.partitionBy("host")
     return (
-        robots.withColumn("_maxf", F.max("fetched_at").over(w))
-        .filter(F.col("fetched_at") == F.col("_maxf"))
-        .drop("_maxf")
+        robots.withColumn("_k", F.struct(F.col("fetched_at").alias("f"), seq.alias("s")))
+        .withColumn("_maxk", F.max("_k").over(w))
+        .filter(F.col("_k") == F.col("_maxk"))
+        .drop("_k", "_maxk")
     )
 
 

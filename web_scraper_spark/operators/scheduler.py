@@ -180,7 +180,7 @@ def with_global_rank(
     ).select("_pid", "_off")
     ranks = (
         local.join(F.broadcast(offs), "_pid")
-        .withColumn(rank_col, (F.col("_off") + F.col("_lrn")).cast("int"))
+        .withColumn(rank_col, (F.col("_off") + F.col("_lrn")).cast("long"))
         .select(*key_cols, rank_col)
     )
     return df.join(ranks, list(key_cols))

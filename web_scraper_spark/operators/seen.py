@@ -120,15 +120,23 @@ def filter_unseen(
     candidates: DataFrame,
     seen: DataFrame | None,
     sketch_df: DataFrame | None = None,
+    bucket_files: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Rows of `candidates` whose url_sha1 is NOT in the seen set.
 
     candidates must carry url_sha1 + shard columns. With a sketch table,
-    the expensive anti-join probes only the bloom-"maybe" slice; the
-    definite-negative slice bypasses the anti-join entirely.
+    the expensive exact check probes only the bloom-"maybe" slice; the
+    definite-negative slice bypasses it entirely.
+
+    With `bucket_files` (Catalog.bucket_files of a bucket-pure seen table)
+    the exact check is SHARD-ALIGNED: see filter_unseen_files. Without it,
+    the fallback is the plain anti-join — which shuffles+sorts the ENTIRE
+    seen table every call (the round-2 verdict's last O(table) cost).
     """
-    if seen is None:
+    if seen is None and bucket_files is None:
         return candidates
+    if bucket_files is not None:
+        return filter_unseen_files(candidates, bucket_files, sketch_df)
     if sketch_df is None:
         return candidates.join(seen.select("url_sha1"), "url_sha1", "left_anti")
     tagged = tag_maybe_seen(candidates, sketch_df)
@@ -136,6 +144,94 @@ def filter_unseen(
     maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     verified_new = maybe.join(seen.select("url_sha1"), "url_sha1", "left_anti")
     return certain_new.unionByName(verified_new)
+
+
+def filter_unseen_files(
+    candidates: DataFrame,
+    bucket_files: dict[str, list[str]],
+    sketch_df: DataFrame | None = None,
+) -> DataFrame:
+    """Shard-aligned exact unseen filter over a BUCKET-PURE seen table.
+
+    ONE shard-cogrouped applyInPandas fuses the whole membership check:
+    each task holds one shard's candidate slice next to that shard's
+    sketch row, probes the bloom, and — only for bloom-"maybe" rows —
+    opens THAT SHARD's parquet files directly (pyarrow, manifest paths
+    from Catalog.bucket_files) and verifies membership with an Arrow
+    is_in. The reference analog is the O(1) Redis SISMEMBER
+    (redis_helper.c:210-227).
+
+    Scale shape vs the anti-join fallback:
+    - the seen table is NEVER shuffled, sorted, or even planned as a join
+      build side — per generation it costs sequential columnar I/O on the
+      shards that have bloom-maybe candidates, and ZERO on every other
+      shard (a shard with no maybe rows never opens a file; one whose
+      sketch row is absent was never written, so it is skipped too);
+    - the only exchange is the candidates-by-shard shuffle the sketch
+      probe already paid — the exact check now rides in the same task;
+    - per-shard file counts are bounded by the compaction cadence
+      (stage_append_cow ≈ 1 file/touched shard/generation, rewritten
+      every compact_every generations), so the closure-shipped path dict
+      stays small.
+
+    Correctness never depends on a sketch: with sketch_df=None every row
+    is treated as "maybe" and verified against the files.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import types as T
+
+    spark = candidates.sparkSession
+    if sketch_df is None:
+        have_sketch = False
+        sketch_df = spark.createDataFrame([], schemas.SEEN_SKETCH)
+    else:
+        have_sketch = True
+
+    # fresh StructType — StructType.add would mutate the cached schema
+    out_schema = T.StructType(list(candidates.schema.fields))
+    cols = [f.name for f in candidates.schema.fields]
+    files = {str(k): list(v) for k, v in bucket_files.items()}
+
+    def probe(key, cand_pdf: pd.DataFrame, sk_pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        shard = int(key[0])
+        cand = cand_pdf[cols]
+        if cand.empty:
+            return cand
+        if have_sketch:
+            if sk_pdf.empty:
+                # shard never written -> everything is certainly new
+                return cand
+            b = Bloom.from_bytes(bytes(sk_pdf["bloom"].iloc[0]))
+            maybe = b.contains_many(cand["url_sha1"].to_numpy())
+        else:
+            maybe = np.ones(len(cand), dtype=bool)
+        if not maybe.any():
+            return cand
+        paths = files.get(str(shard))
+        if not paths:
+            return cand
+        tables = [pq.read_table(p, columns=["url_sha1"]) for p in paths]
+        seen_keys = pa.concat_tables(tables).column("url_sha1")
+        in_seen = (
+            pc.is_in(
+                pa.array(cand["url_sha1"].to_numpy(), type=pa.string()),
+                value_set=seen_keys.combine_chunks(),
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        return cand[~(maybe & in_seen)]
+
+    return (
+        candidates.groupBy("shard")
+        .cogroup(sketch_df.groupBy("shard"))
+        .applyInPandas(probe, schema=out_schema)
+    )
 
 
 def membership(

@@ -53,6 +53,11 @@ ROBOTS = T.StructType(
         T.StructField("rule_len", T.IntegerType(), False),
         T.StructField("crawl_delay", T.DoubleType(), True),
         T.StructField("fetched_at", T.LongType(), False),
+        # monotone fetch identity (the crawl passes the generation number):
+        # tie-break when two fetches for one host share fetched_at, so
+        # overwrite-on-refetch (robots_parser.c:282-283 DELETE+SET) applies
+        # exactly one fetch's rules instead of mixing both
+        T.StructField("fetch_seq", T.LongType(), False),
     ]
 )
 

@@ -176,9 +176,11 @@ def fetch_pages_http(
     """fetch_pages with the REAL transport: identical schema and operator
     shape (mapInPandas, batch rows + FETCH_RESULT_FIELDS), so the crawl
     loop swaps transports without touching the plan. Config plumbs from
-    CrawlConfig: request_timeout → timeout_s, user_agent, retry_count →
-    retries (in-batch transport retries; the fetch_failures table handles
-    cross-generation backoff either way)."""
+    CrawlConfig: request_timeout → timeout_s, user_agent, and
+    http_inbatch_retries → retries. `retries` is deliberately NOT
+    retry_count: cross-generation attempts are the fetch_failures table's
+    contract (T7), and applying retry_count at both layers would mean up
+    to retry_count² transport attempts per URL."""
     out_schema = T.StructType(list(batch.schema.fields) + FETCH_RESULT_FIELDS)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -190,3 +192,44 @@ def fetch_pages_http(
             yield pd.concat([pdf, res], axis=1)
 
     return batch.mapInPandas(run, schema=out_schema)
+
+
+def fetch_robots_http(
+    hosts: DataFrame,
+    timeout_s: float = 10.0,
+    user_agent: str = "WebScraperBot/1.0",
+    concurrency: int = 8,
+) -> DataFrame:
+    """fetch_robots over the REAL transport: GET <scheme>://<host>/robots.txt
+    (robots_parser.c:183-189 builds the same URL). `hosts` carries (host
+    [, scheme]); scheme defaults to http. Output schema matches
+    fetch_robots, so rules_from_corpus composes unchanged:
+    - HTTP 200 → decoded body;
+    - any other status OR a transport failure → null body, which
+      rules_from_corpus turns into the 'none' sentinel = allow-all AND
+      cached-for-TTL (the C treats fetch failure as allow,
+      robots_parser.c:201-214, and we additionally avoid refetching every
+      generation)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(host: str, scheme: str):
+        status, body, _ = _http_get(
+            f"{scheme}://{host}/robots.txt", timeout_s, user_agent
+        )
+        if status != 200 or body is None:
+            return None
+        return body.decode("utf-8", errors="replace")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            schemes = (
+                pdf["scheme"].fillna("http")
+                if "scheme" in pdf.columns
+                else pd.Series(["http"] * len(pdf), index=pdf.index)
+            )
+            with ThreadPoolExecutor(max_workers=max(1, concurrency)) as pool:
+                bodies = list(pool.map(one, pdf["host"], schemes))
+            yield pd.DataFrame({"host": pdf["host"], "body": bodies})
+
+    cols = ["host", "scheme"] if "scheme" in hosts.columns else ["host"]
+    return hosts.select(*cols).mapInPandas(run, schema=ROBOTS_FETCH_SCHEMA)

@@ -8,26 +8,40 @@ batch operators plus checkpointed state recovery:
                                           dedup state store (S3/S4 analog;
                                           exactly-once per url across
                                           micro-batches AND restarts)
+      → robots decision                 — decide_allowed against a STATIC
+                                          rules table (stream-static
+                                          broadcast join + F.exists — the
+                                          same stateless P4-P6 kernel the
+                                          batch engine uses; a disallowed
+                                          url never reaches the gate or the
+                                          fetch, url_processor.c:107-118)
       → politeness_gate                 — applyInPandasWithState per host
                                           (T1/T2; AIMD state persisted in
                                           the state store)
       → fetch_pages (mapInPandas)       — S1, the same Arrow fetch seam
-      → analyze_udf                     — P8-P13 single-pass extraction
-      → parquet sink + checkpoint       — append mode, atomic with state
+      → parquet sink(s) + checkpoint    — successes analyzed (P8-P13) into
+                                          pages; transport failures routed
+                                          to a failures sink (T7 analog)
+                                          instead of vanishing
 
 Restarting the query against the same checkpoint resumes BOTH state stores:
 already-streamed urls stay deduplicated (never refetched) and each host's
 politeness clock keeps advancing from its persisted last_fetch — the
 streaming twin of the batch engine's byte-identical snapshot resume.
 
-Scope notes (the batch engine stays the primary execution mode):
-- robots filtering and the retry/backoff table are batch-side concerns
-  here; a production stream would insert the same broadcast decision
-  before the gate (stateless — composes freely).
-- dropDuplicates without a watermark keeps one state row per url — the
-  honest streaming equivalent of the seen set, which also never forgets.
-  State is hash-partitioned by url_sha1 across executors like every other
-  key in the engine.
+State-size note (the honest trade-off, stated): with dedup_ttl=None the
+dropDuplicates state keeps one row per url forever — exactly the semantics
+of the batch seen set, which also never forgets. State is hash-partitioned
+by url_sha1 across executors like every other key in the engine, so it
+scales out, but it only scales; it never shrinks. For bounded-state
+deployments pass `dedup_ttl` (seconds): event_time becomes a watermark and
+dedup switches to dropDuplicatesWithinWatermark — urls older than the TTL
+can then be fetched again, the same contract as the reference's 24h cache
+expiry (cache.h:8) rather than its permanent visited set.
+
+Scope note: cross-generation retry/backoff (the fetch_failures table)
+remains batch-side; the stream routes failures to a sink where a batch
+sweeper can re-enqueue them.
 """
 
 from __future__ import annotations
@@ -36,7 +50,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import textops
-from ..functions.urlops import canonicalize, host_expr, sha1_expr
+from ..functions.urlops import (
+    canonicalize,
+    host_expr,
+    normalize_path_expr,
+    sha1_expr,
+    split_base_path_exprs,
+)
+from ..operators.robots import decide_allowed
 from ..sources import fetch as fetch_src
 from ..synth import SynthWebConfig
 from .politeness import politeness_gate
@@ -50,10 +71,20 @@ def streaming_crawl(
     pages_dir: str,
     checkpoint_dir: str,
     web: SynthWebConfig,
+    robots: DataFrame | None = None,
+    failures_dir: str | None = None,
+    dedup_ttl: float | None = None,
 ):
     """Build and start the streaming crawl query (availableNow trigger:
     drains everything currently in frontier_dir, then stops — call again
     after dropping more frontier files to continue from the checkpoint).
+
+    robots: optional STATIC rules table (ROBOTS schema, e.g.
+    rules_from_corpus output) — disallowed urls are filtered before the
+    politeness gate so they never consume a slot nor reach the transport.
+    failures_dir: optional sink for transport-failure rows (content null).
+    dedup_ttl: optional seconds before the per-url dedup state may be
+    forgotten (see module docstring).
 
     Returns the StreamingQuery; caller awaits termination."""
     src = (
@@ -67,38 +98,87 @@ def streaming_crawl(
         .filter(F.col("url_canon").isNotNull())
         .withColumn("url_sha1", sha1_expr(F.col("url_canon")))
         .withColumn("host", host_expr(F.col("url_canon")))
-        .dropDuplicates(["url_sha1"])
-        .select(
-            "host",
-            "url_canon",
-            "priority",
-            "event_time",
-            F.lit(None).cast("int").alias("status"),
-            F.lit(None).cast("int").alias("response_ms"),
+    )
+    if dedup_ttl is None:
+        cand = cand.dropDuplicates(["url_sha1"])
+    else:
+        cand = (
+            cand.withColumn("event_ts", F.timestamp_seconds(F.col("event_time")))
+            .withWatermark("event_ts", f"{int(dedup_ttl)} seconds")
+            .dropDuplicatesWithinWatermark(["url_sha1"])
+            .drop("event_ts")
         )
+    if robots is not None:
+        _, path_col = split_base_path_exprs(F.col("url_canon"))
+        cand = (
+            cand.withColumn("norm_path", normalize_path_expr(path_col))
+        )
+        cand = (
+            decide_allowed(cand, robots)
+            .filter(F.col("allowed"))
+            .drop("allowed", "norm_path")
+        )
+    cand = cand.select(
+        "host",
+        "url_canon",
+        "priority",
+        "event_time",
+        F.lit(None).cast("int").alias("status"),
+        F.lit(None).cast("int").alias("response_ms"),
     )
     admitted = politeness_gate(cand)
     fetched = fetch_src.fetch_pages(
         admitted.select("host", "url_canon", "priority", "fetch_time"), web
     )
-    pages = (
-        fetched.filter(F.col("content").isNotNull())
-        .withColumn("_an", textops.analyze_udf(F.col("content")))
-        .select(
-            F.col("url_canon").alias("url"),
-            "host",
-            "priority",
-            "fetch_time",
-            "status",
-            F.length("content").cast("long").alias("content_size"),
-            F.col("_an.title").alias("title"),
-            F.col("_an.description").alias("description"),
-            F.col("_an.sentiment").alias("sentiment"),
+
+    def _pages(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col("content").isNotNull())
+            .withColumn("_an", textops.analyze_udf(F.col("content")))
+            .select(
+                F.col("url_canon").alias("url"),
+                "host",
+                "priority",
+                "fetch_time",
+                "status",
+                F.length("content").cast("long").alias("content_size"),
+                F.col("_an.title").alias("title"),
+                F.col("_an.description").alias("description"),
+                F.col("_an.sentiment").alias("sentiment"),
+            )
         )
-    )
+
+    if failures_dir is None:
+        return (
+            _pages(fetched)
+            .writeStream.format("parquet")
+            .option("path", pages_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # two sinks, one checkpointed query: foreachBatch splits each
+    # micro-batch into the pages append and the failure-row append (both
+    # idempotent parquet appends keyed by the checkpointed batch id)
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            _pages(batch_df).write.mode("append").parquet(pages_dir)
+            fails = batch_df.filter(F.col("content").isNull()).select(
+                F.col("url_canon").alias("url"),
+                "host",
+                "priority",
+                "fetch_time",
+            )
+            if fails.head(1):
+                fails.write.mode("append").parquet(failures_dir)
+        finally:
+            batch_df.unpersist()
+
     return (
-        pages.writeStream.format("parquet")
-        .option("path", pages_dir)
+        fetched.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .trigger(availableNow=True)
