@@ -226,3 +226,56 @@ class TestFrontierCow:
                 vers = {f["path"].split("/")[0] for f in e["files"]}
                 multi = max(multi, len(vers))
         assert multi >= 2, "no frontier files were carried across versions"
+
+
+class TestSchemaGuard:
+    def test_legacy_catalog_raises_then_migrates(self, spark, tmp_path):
+        """A catalog whose pages/robots predate SCHEMA_V (simulated by
+        stripping the marker and the new columns) must refuse to resume
+        with a clear error — NOT silently stage_append mixed-schema files —
+        and migrate_catalog() must repair it in one snapshot."""
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from web_scraper_spark.config import CrawlConfig
+        from web_scraper_spark.crawl import (
+            SCHEMA_V,
+            migrate_catalog,
+            run_crawl,
+            run_generation,
+        )
+        from web_scraper_spark.synth import SynthWebConfig, seed_url_rows
+
+        web = SynthWebConfig(n_hosts=2, pages_per_host=6)
+        cfg = CrawlConfig(max_pages=6, max_depth=1, horizon=6.0, num_shards=8)
+        seeds = spark.createDataFrame(
+            [(r["url"], r["priority"]) for r in seed_url_rows(web)], ["url", "priority"]
+        )
+        cat = run_crawl(spark, str(tmp_path / "cat"), seeds, cfg, web, max_generations=4)
+        snap = cat.current_snapshot()
+
+        # simulate a pre-v3 catalog: drop the marker and rewrite pages
+        # without 'meta' / robots without 'fetch_seq'
+        pages_old = cat.read("pages").drop("meta")
+        robots_old = cat.read("robots").drop("fetch_seq")
+        cat.stage("pages", pages_old)
+        cat.stage("robots", robots_old)
+        for t in snap.tables:
+            if t not in ("pages", "robots"):
+                cat.stage_keep(t, snap)
+        m = dict(snap.metrics)
+        m.pop("schema_v", None)
+        cat.commit(generation=snap.generation, t0=snap.t0, metrics=m)
+
+        with _pytest.raises(ValueError, match="schema_v"):
+            run_generation(cat, cfg, web)
+
+        migrate_catalog(cat)
+        snap2 = cat.current_snapshot()
+        assert snap2.metrics["schema_v"] == SCHEMA_V
+        pages = cat.read("pages")
+        assert "meta" in pages.columns
+        assert dict(pages.dtypes)["crawl_rank"] == "bigint"
+        assert "fetch_seq" in cat.read("robots").columns
+        # resumes cleanly after migration
+        run_generation(cat, cfg, web)

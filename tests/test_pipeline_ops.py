@@ -387,3 +387,37 @@ class TestSignSigBands:
             simsearch.sign_sig_pairs(df, sig_bits=16, n_bands=3)
         with pytest.raises(ValueError, match="overflow"):
             simsearch.sign_sig_pairs(df, sig_bits=64, n_bands=8, max_hamming=2)
+
+
+class TestIvfDistributedQueries:
+    def test_matches_collect_based_ivf(self, spark):
+        """ivf_topk_distributed must return EXACTLY ivf_topk's answer —
+        same centroids, same probe set, same ranks — while never
+        collecting the query table."""
+        import random
+
+        from web_scraper_spark.functions import simsearch
+
+        rng = random.Random(3)
+        corpus = spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)],
+            ["vec_id", "embedding"],
+        )
+        queries = spark.createDataFrame(
+            [(100 + i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(12)],
+            ["q_id", "q_vec"],
+        )
+        cents = simsearch.kmeans_centroids(corpus, n_clusters=8, iters=2)
+        a = {
+            (r["q_id"], r["vec_id"], r["rank"])
+            for r in simsearch.ivf_topk(
+                corpus, queries, k=5, n_clusters=8, n_probe=3, iters=2
+            ).collect()
+        }
+        b = {
+            (r["q_id"], r["vec_id"], r["rank"])
+            for r in simsearch.ivf_topk_distributed(
+                corpus, queries, k=5, n_probe=3, centroids=cents
+            ).collect()
+        }
+        assert a == b

@@ -59,6 +59,15 @@ class TestCanonicalize:
     def test_protocol_relative(self):
         assert canon(B, "//other.test/q") == "http://other.test/q"
 
+    def test_protocol_relative_without_authority_dropped(self):
+        """hypothesis-found: '//' has no authority; resolving it used to
+        yield 'http://' → slash-strip → the non-idempotent 'http:/'.
+        Structurally unresolvable → null, like junk hrefs."""
+        assert pd.isna(canon(B, "//"))
+        assert pd.isna(canon(B, "///x"))
+        assert pd.isna(canon(B, "//#frag"))
+        assert canon(B, "//h") == "http://h"  # 1-char authority still fine
+
     def test_query_only(self):
         assert canon(B, "?x=1") == "http://h1.example.test/a/b/page.html?x=1"
 
@@ -125,6 +134,7 @@ class TestNativeCanonicalizeParity:
         "?q=1", "?", "rel.html", "rel/", "./here", "../up", "../../up2",
         "a/./b", "a/../b", "./.", "..", ".", "a/b/../../c", "x/../../y",
         "p?q=2#frag", "./q#f", "spaces in href", "trailing//", "//",
+        "///x", "//#frag", "//h", "////",
     ]
     BASES = [
         "http://h1.example.test/a/b/page.html",

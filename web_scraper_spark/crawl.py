@@ -422,6 +422,9 @@ def run_generation(
     links_new = (
         exploded.filter(~junk_href(F.col("href")))  # pre-filter: see junk_href
         .withColumn("to_url", canonicalize(F.col("parent_url"), F.col("href")))
+        # canonicalize maps structurally-unresolvable hrefs (e.g. a bare
+        # '//' with no authority) to null — dropped, like the sim does
+        .filter(F.col("to_url").isNotNull())
         .select(F.col("parent_url").alias("from_url"), "to_url", "parent_depth")
     ).cache()
 

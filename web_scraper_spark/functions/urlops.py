@@ -77,10 +77,15 @@ def canonicalize_series(base: pd.Series, href: pd.Series) -> pd.Series:
         hr = h.where(rel)
         resolved = pd.Series(pd.NA, index=href.index, dtype="string")
 
-        proto_rel = hr.str.startswith("//", na=False)
+        # protocol-relative NEEDS a non-empty authority: '//' (or '///x')
+        # has nothing to be the host, resolving it would yield 'http://'
+        # → trailing-slash strip → the non-idempotent garbage 'http:/'
+        # (hypothesis-found). Such hrefs stay NA = dropped, like junk.
+        proto_any = hr.str.startswith("//", na=False)
+        proto_rel = hr.str.match(r"^//[^/]", na=False)
         resolved[proto_rel] = scheme[proto_rel] + ":" + hr[proto_rel]
 
-        abs_path = hr.str.startswith("/", na=False) & ~proto_rel
+        abs_path = hr.str.startswith("/", na=False) & ~proto_any
         resolved[abs_path] = root[abs_path] + hr[abs_path]
 
         query_only = hr.str.startswith("?", na=False)
@@ -89,7 +94,7 @@ def canonicalize_series(base: pd.Series, href: pd.Series) -> pd.Series:
         empty = (hr.str.len() == 0).fillna(False)
         resolved[empty] = b[empty]
 
-        relpath = rel & ~proto_rel & ~abs_path & ~query_only & ~empty
+        relpath = rel & ~proto_any & ~abs_path & ~query_only & ~empty
         resolved[relpath] = root[relpath] + basedir[relpath] + hr[relpath]
 
         # dot-segment removal (RFC 3986 §5.2.4), applied to the path part only;
@@ -158,7 +163,10 @@ def canonicalize_expr(base: Column, href: Column) -> Column:
     basedir = F.when(F.length(basedir) > 0, basedir).otherwise(F.lit("/"))
 
     resolved = (
-        F.when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        # proto-relative needs a non-empty authority ('//[^/]...'); a bare
+        # '//' resolves to nothing sensible and is dropped (kernel parity)
+        F.when(h.rlike(r"^//[^/]"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("//"), F.lit(None).cast("string"))
         .when(h.startswith("/"), F.concat(root, h))
         .when(h.startswith("?"), F.concat(root, bpath, h))
         .when(F.length(h) == 0, b)  # fragment-only href → the base itself
