@@ -463,6 +463,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), threshold=0.12, n=8
     )
 
+    def q_minhash_sig(spark, sf_dir):
+        """The MinHash signature kernel itself, fully SQL-oracled: the LSH
+        PAIR set is rows-only by design (banding recall < 1), but each
+        signature — min over shingles of md5-60('mh{p}|' + gram) per
+        permutation — is exactly expressible in DuckDB. Exploded to one row
+        per (doc, permutation) so the driver compares scalar int64s."""
+        sig = _docs(spark, sf_dir).select(
+            "doc_id",
+            dedupops.minhash_signature_expr(
+                dedupops.shingles_expr(F.col("text"), 8)
+            ).alias("sig"),
+        )
+        return sig.select(
+            "doc_id", F.posexplode("sig").alias("perm", "minhash")
+        ).withColumn("perm", F.col("perm").cast("long"))
+
+    q["minhash_sig"] = q_minhash_sig
+
     # ---------------- embeddings: similarity + phash analog (J6)
     def _emb(spark, sf_dir):
         return _t(spark, sf_dir, "embeddings")
@@ -643,6 +661,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_neardup_lsh"] = q_image_neardup_lsh
 
+    def _clips(spark, n=64):
+        # deterministic fake clip table: the decode step is a DISCLOSED
+        # stub (no codec libs in this sandbox — multimodal.py), so bytes
+        # only need to be stable, not decodable
+        return spark.range(0, n).select(
+            F.concat(F.lit("clip"), F.col("id").cast("string")).alias("clip_id"),
+            F.unhex(F.md5(F.col("id").cast("string"))).alias("bytes"),
+        )
+
+    def q_video_frames(spark, sf_dir):
+        """Multimodal video plumbing, rows-only: clips → frame sampler
+        (mapInPandas explode shape: one row per sampled frame, typed
+        frame_phash). Decode itself is the disclosed stub; the Spark-side
+        contract (schema, Arrow batching, explode fan-out, determinism
+        under partitioning) is what this exercises."""
+        from web_scraper_spark.functions import multimodal
+
+        return multimodal.video_frame_sample(_clips(spark), every_n=10)
+
+    q["video_frames"] = q_video_frames
+
+    def q_audio_feats(spark, sf_dir):
+        """Multimodal audio plumbing, rows-only: clips → per-clip feature
+        row (duration/rms/sample_rate) via mapInPandas; decode stubbed."""
+        from web_scraper_spark.functions import multimodal
+
+        return multimodal.audio_features(_clips(spark))
+
+    q["audio_feats"] = q_audio_feats
+
     return q
 
 
@@ -790,6 +838,15 @@ def oracle_sql() -> dict[str, str]:
 
     o["simhash"] = f"SELECT doc_id, {dedupops.simhash_sql('text')} AS sh FROM documents"
     o["simhash_pairs"] = dedupops.simhash_pairs_sql(max_hamming=3)
+    _mh = ta.md5_60_sql("'mh' || CAST(p.perm AS VARCHAR) || '|' || s.g")
+    o["minhash_sig"] = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({dedupops.shingles_sql('text', 8)}) AS g FROM documents
+)
+SELECT s.doc_id, p.perm AS perm, min({_mh}) AS minhash
+FROM sh s, (SELECT unnest(generate_series(0, {dedupops.MINHASH_PERMS - 1})) AS perm) p
+GROUP BY 1, 2
+"""
     o["ngram_jaccard_pairs"] = dedupops.ngram_jaccard_pairs_sql(threshold=0.12, n=8)
 
     sig_sql = (

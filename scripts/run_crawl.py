@@ -87,6 +87,13 @@ def main():
         cat = resume_crawl(cat, cfg, web, max_generations=args.max_generations)
     else:
         if args.transport == "http":
+            if not args.seed_url:
+                # --resume passed but no manifest exists at --catalog: the
+                # resume exemption above doesn't apply to a fresh start
+                ap.error(
+                    f"no catalog manifest at {args.catalog} to resume from; "
+                    "pass --seed-url to start a new http crawl"
+                )
             seed_rows = [(u, 0) for u in args.seed_url]
         else:
             seed_rows = [(r["url"], r["priority"]) for r in synth.seed_url_rows(web)]

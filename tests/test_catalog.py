@@ -279,3 +279,49 @@ class TestSchemaGuard:
         assert "fetch_seq" in cat.read("robots").columns
         # resumes cleanly after migration
         run_generation(cat, cfg, web)
+
+    def test_half_upgraded_robots_backfills_rowwise(self, spark, tmp_path):
+        """A robots table MIXING pre- and post-fetch_seq parquet files
+        (written by an engine that added the column before the schema_v
+        guard existed): migrate_catalog must repair it regardless of which
+        file Spark's schema sampling hits first — mergeSchema read +
+        row-wise coalesce, never the column-presence shortcut alone."""
+        from pyspark.sql import functions as F
+
+        from web_scraper_spark.catalog import Catalog
+        from web_scraper_spark.crawl import SCHEMA_V, migrate_catalog
+        from web_scraper_spark.operators.robots import rules_from_corpus
+
+        cat = Catalog(spark, str(tmp_path / "cat2"))
+        old = rules_from_corpus(
+            spark.createDataFrame(
+                [("h0.test", "User-agent: *\nDisallow: /a\n")], ["host", "body"]
+            ),
+            fetched_at=7,
+        ).drop("fetch_seq")
+        cat.stage("robots", old)
+        cat.commit(generation=0, t0=0.0)  # no schema_v marker: pre-v3
+        snap = cat.current_snapshot()
+
+        new = rules_from_corpus(
+            spark.createDataFrame(
+                [("h1.test", "User-agent: *\nDisallow: /b\n")], ["host", "body"]
+            ),
+            fetched_at=9,
+            fetch_seq=3,
+        )
+        cat.stage_append("robots", new, snap)
+        m = dict(snap.metrics)
+        m.pop("schema_v", None)
+        cat.commit(generation=1, t0=0.0, metrics=m)
+
+        migrate_catalog(cat)
+        snap2 = cat.current_snapshot()
+        assert snap2.metrics["schema_v"] == SCHEMA_V
+        robots = cat.read("robots")
+        rows = {r["host"]: r for r in robots.filter(F.col("rule_type") == "disallow").collect()}
+        # old-file rows: backfilled row-wise from fetched_at; new-file rows
+        # keep their explicit fetch_seq
+        assert rows["h0.test"]["fetch_seq"] == 7
+        assert rows["h1.test"]["fetch_seq"] == 3
+        assert robots.filter(F.col("fetch_seq").isNull()).count() == 0

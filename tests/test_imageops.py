@@ -131,3 +131,55 @@ class TestImagesTable:
         assert all(r["w"] == 16 and r["h"] == 16 for r in rows)
         arr = imageops.decode_ppm(bytes(rows[0]["bytes"]))
         assert arr.shape == (16, 16, 3)
+
+
+class TestAudioVideoStubs:
+    """The audio/video decode steps are DISCLOSED stubs (no codec libs in
+    the sandbox — multimodal.py); these tests pin the Spark-side contract
+    that IS real: output schema, mapInPandas batching, explode fan-out,
+    determinism under repartitioning, and the strict=True production
+    posture (raise instead of fake)."""
+
+    def clips(self, spark, n=32):
+        return spark.range(0, n).select(
+            F.concat(F.lit("clip"), F.col("id").cast("string")).alias("clip_id"),
+            F.unhex(F.md5(F.col("id").cast("string"))).alias("bytes"),
+        )
+
+    def test_audio_schema_and_determinism(self, spark):
+        c = self.clips(spark)
+        out = multimodal.audio_features(c)
+        assert out.schema == multimodal.AUDIO_FEATURES_SCHEMA
+        r1 = {r["clip_id"]: (r["duration_s"], r["rms"], r["sample_rate"]) for r in out.collect()}
+        r2 = {
+            r["clip_id"]: (r["duration_s"], r["rms"], r["sample_rate"])
+            for r in multimodal.audio_features(c.repartition(8)).collect()
+        }
+        assert r1 == r2 and len(r1) == 32
+        assert all(0 <= d < 30 and 0 <= q < 1 for d, q, _ in r1.values())
+
+    def test_video_explode_shape(self, spark):
+        c = self.clips(spark)
+        out = multimodal.video_frame_sample(c, every_n=10)
+        assert out.schema == multimodal.VIDEO_FRAMES_SCHEMA
+        rows = out.collect()
+        per = {}
+        for r in rows:
+            per.setdefault(r["clip_id"], []).append(r["frame_idx"])
+        assert set(per) == {f"clip{i}" for i in range(32)}
+        for idxs in per.values():
+            # frame indices are the every_n grid over 30..299 frames
+            assert sorted(idxs) == list(range(0, max(idxs) + 1, 10))
+            assert 3 <= len(idxs) <= 30
+        # deterministic under partitioning
+        again = multimodal.video_frame_sample(c.repartition(8), every_n=10)
+        assert {(r["clip_id"], r["frame_idx"], r["frame_phash"]) for r in again.collect()} == {
+            (r["clip_id"], r["frame_idx"], r["frame_phash"]) for r in rows
+        }
+
+    def test_strict_raises(self, spark):
+        c = self.clips(spark, n=4)
+        with pytest.raises(Exception, match="NotImplementedError|soundfile|ffmpeg"):
+            multimodal.audio_features(c, strict=True).collect()
+        with pytest.raises(Exception, match="NotImplementedError|pyav|ffmpeg"):
+            multimodal.video_frame_sample(c, strict=True).collect()

@@ -281,3 +281,30 @@ class TestStreamingRobotsAndFailures:
         assert len(got2_urls) == len(set(got2_urls))
         all_private = {u for u, _, _ in batch1 + batch2 if "/private/" in u}
         assert not (set(got2_urls) & all_private)
+
+        # foreachBatch sinks are batch-id-keyed overwrite directories (the
+        # exactly-once mechanism: a mid-batch crash replays the same
+        # batch_id and rewrites the same directory instead of appending
+        # duplicates) — partition discovery surfaces the key
+        assert any(d.startswith("batch_id=") for d in os.listdir(pages))
+
+        # robots runs BEFORE the dedup state store (batch parity: a
+        # disallowed url is never marked seen). Restart with a permissive
+        # rules table and re-deliver a previously-disallowed url: it must
+        # be fetched now — under robots-after-dedup it would sit in state
+        # forever and be dropped before the new decision ever saw it.
+        corpus_open = spark.createDataFrame(
+            [(host_name(k), "User-agent: *\nAllow: /\n") for k in range(2)],
+            ["host", "body"],
+        )
+        robots_open = rules_from_corpus(corpus_open, fetched_at=1)
+        target = sorted(private1)[0]
+        drop([(target, 1, 0.0)])
+        q3 = streaming_crawl(
+            spark, frontier, pages, ckpt, web,
+            robots=robots_open, failures_dir=fails_dir,
+        )
+        q3.awaitTermination()
+        urls3 = {r["url"] for r in spark.read.parquet(pages).collect()}
+        fails3 = {r["url"] for r in spark.read.parquet(fails_dir).collect()}
+        assert target in (urls3 | fails3)

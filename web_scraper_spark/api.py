@@ -79,6 +79,10 @@ def trending_topics(cat: Catalog, k: int = 10, n_related: int = 3) -> DataFrame:
             F.explode("topics").alias("topic"),
         )
         .filter(F.length("topic") > 0)
+        # consumed by four branches below (per-gen counts, sources, the
+        # latest-gen filter, and the co-occurrence self-join) — persist so
+        # one action scans + explodes the pages table once, not 4-5 times
+        .persist()
     )
     per_gen = page_topics.groupBy("topic", "gen").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy("topic").orderBy("gen")
@@ -116,7 +120,9 @@ def trending_topics(cat: Catalog, k: int = 10, n_related: int = 3) -> DataFrame:
         .limit(k)
     )
     wr = Window.orderBy(F.desc("frequency"), F.col("topic"))
-    top = top.withColumn("rk", F.row_number().over(wr))
+    # k rows; reused by topk_names (twice) and the final join — persist so
+    # the aggregation + global top-k cut runs once per action
+    top = top.withColumn("rk", F.row_number().over(wr)).persist()
 
     topk_names = top.select("topic")
 
@@ -161,6 +167,9 @@ def trending_topics(cat: Catalog, k: int = 10, n_related: int = 3) -> DataFrame:
             F.coalesce("related_topics", empty).alias("related_topics"),
             F.coalesce("sources", empty).alias("sources"),
         )
+        # rank order is the API contract (print_trends walks the array in
+        # order, main.c:104-127); ≤k rows, so the final sort is free
+        .orderBy("rk")
     )
 
 

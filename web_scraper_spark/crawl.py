@@ -699,9 +699,20 @@ def migrate_catalog(cat: Catalog) -> Catalog:
         cat.stage("pages", pages)
         staged.add("pages")
     if "robots" in snap.tables:
-        robots = cat.read("robots")
+        r_paths = [
+            os.path.join(cat.root, "robots", f["path"])
+            for f in snap.tables["robots"]["files"]
+        ]
+        robots = spark.read.option("mergeSchema", "true").parquet(*r_paths)
         if "fetch_seq" not in robots.columns:
             robots = robots.withColumn("fetch_seq", F.col("fetched_at"))
+        else:
+            # half-upgraded table: mergeSchema surfaces fetch_seq, but rows
+            # from pre-upgrade files carry null — backfill row-wise so the
+            # non-nullable ROBOTS contract (and the tie-break) holds
+            robots = robots.withColumn(
+                "fetch_seq", F.coalesce(F.col("fetch_seq"), F.col("fetched_at"))
+            )
         cat.stage("robots", robots)
         staged.add("robots")
     for t in snap.tables:

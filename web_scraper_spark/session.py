@@ -55,6 +55,17 @@ def get_spark(
         .config("spark.shuffle.compress", "false")
         .config("spark.shuffle.spill.compress", "false")
     )
+    # local-mode shuffle scratch on tmpfs when available: local[N] writes
+    # every shuffle/spill file to spark.local.dir, which defaults to /tmp —
+    # here a host-contended virtio disk (uncompressed shuffle makes the
+    # bytes big, and host-side disk load varies run-to-run, which polluted
+    # cross-session scaling numbers). /dev/shm is guest DRAM. On a real
+    # cluster each executor gets node-local NVMe via spark.local.dir /
+    # yarn.nodemanager.local-dirs instead — keep compression ON there.
+    shm = "/dev/shm/wss-spark-local"
+    if os.path.isdir("/dev/shm"):
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, str(v))
     spark = builder.getOrCreate()

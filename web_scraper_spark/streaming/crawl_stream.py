@@ -4,17 +4,20 @@ batch operators plus checkpointed state recovery:
 
     frontier file-stream (url, priority, event_time)
       → canonicalize + identity (JVM exprs — same P1/P2/P14 kernels)
-      → dropDuplicates(url_sha1)        — the URL-seen set as the streaming
-                                          dedup state store (S3/S4 analog;
-                                          exactly-once per url across
-                                          micro-batches AND restarts)
       → robots decision                 — decide_allowed against a STATIC
                                           rules table (stream-static
                                           broadcast join + F.exists — the
                                           same stateless P4-P6 kernel the
                                           batch engine uses; a disallowed
-                                          url never reaches the gate or the
-                                          fetch, url_processor.c:107-118)
+                                          url never reaches the dedup state,
+                                          the gate, or the fetch,
+                                          url_processor.c:107-118 — same as
+                                          batch, where disallowed urls are
+                                          never marked seen)
+      → dropDuplicates(url_sha1)        — the URL-seen set as the streaming
+                                          dedup state store (S3/S4 analog;
+                                          exactly-once per url across
+                                          micro-batches AND restarts)
       → politeness_gate                 — applyInPandasWithState per host
                                           (T1/T2; AIMD state persisted in
                                           the state store)
@@ -99,15 +102,12 @@ def streaming_crawl(
         .withColumn("url_sha1", sha1_expr(F.col("url_canon")))
         .withColumn("host", host_expr(F.col("url_canon")))
     )
-    if dedup_ttl is None:
-        cand = cand.dropDuplicates(["url_sha1"])
-    else:
-        cand = (
-            cand.withColumn("event_ts", F.timestamp_seconds(F.col("event_time")))
-            .withWatermark("event_ts", f"{int(dedup_ttl)} seconds")
-            .dropDuplicatesWithinWatermark(["url_sha1"])
-            .drop("event_ts")
-        )
+    # robots BEFORE the dedup state store — mirrors the batch engine, where
+    # disallowed urls are anti-joined out of batch_keys and never marked
+    # seen (crawl.py pop gate): a url dropped by robots here leaves no
+    # dedup-state row, so a restart with an updated rules table that now
+    # allows it can still fetch it, and state never accumulates rows that
+    # can't produce output.
     if robots is not None:
         _, path_col = split_base_path_exprs(F.col("url_canon"))
         cand = (
@@ -117,6 +117,15 @@ def streaming_crawl(
             decide_allowed(cand, robots)
             .filter(F.col("allowed"))
             .drop("allowed", "norm_path")
+        )
+    if dedup_ttl is None:
+        cand = cand.dropDuplicates(["url_sha1"])
+    else:
+        cand = (
+            cand.withColumn("event_ts", F.timestamp_seconds(F.col("event_time")))
+            .withWatermark("event_ts", f"{int(dedup_ttl)} seconds")
+            .dropDuplicatesWithinWatermark(["url_sha1"])
+            .drop("event_ts")
         )
     cand = cand.select(
         "host",
@@ -159,13 +168,20 @@ def streaming_crawl(
             .start()
         )
 
-    # two sinks, one checkpointed query: foreachBatch splits each
-    # micro-batch into the pages append and the failure-row append (both
-    # idempotent parquet appends keyed by the checkpointed batch id)
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+    # two sinks, one checkpointed query. foreachBatch writes are NOT
+    # covered by the file sink's _spark_metadata log, so a crash after one
+    # write but before the checkpoint commit replays the whole micro-batch
+    # on restart. Exactly-once is restored by keying each write to a
+    # batch-id partition directory with overwrite: a replay (same batch_id
+    # = same source offsets = same rows) rewrites the same directory
+    # instead of appending duplicates. Readers spark.read.parquet(root)
+    # discover batch_id as a partition column.
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
         try:
-            _pages(batch_df).write.mode("append").parquet(pages_dir)
+            _pages(batch_df).write.mode("overwrite").parquet(
+                f"{pages_dir}/batch_id={batch_id}"
+            )
             fails = batch_df.filter(F.col("content").isNull()).select(
                 F.col("url_canon").alias("url"),
                 "host",
@@ -173,7 +189,9 @@ def streaming_crawl(
                 "fetch_time",
             )
             if fails.head(1):
-                fails.write.mode("append").parquet(failures_dir)
+                fails.write.mode("overwrite").parquet(
+                    f"{failures_dir}/batch_id={batch_id}"
+                )
         finally:
             batch_df.unpersist()
 
