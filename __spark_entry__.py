@@ -619,7 +619,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from web_scraper_spark import synth
         from web_scraper_spark.functions import multimodal
 
-        imgs = synth.images_df(spark, 256, seed=42)
+        # consumed twice (decode branch + the compare join): persist so
+        # image synthesis (the mapInPandas byte generation) runs once
+        imgs = synth.images_df(spark, 256, seed=42).persist()
         feats = multimodal.image_features(imgs).withColumnRenamed("phash", "phash_re")
         j = imgs.join(feats, "image_id")
         return j.select(
@@ -638,8 +640,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from web_scraper_spark import synth
         from web_scraper_spark.functions.imageops import hamming_expr, phash_band_exprs
 
+        # both sides of the band self-join derive from this frame: persist
+        # the slim (id, phash) projection so image-byte synthesis runs once
         imgs = synth.images_df(spark, 512, seed=42)
-        ph = imgs.select("image_id", "phash")
+        ph = imgs.select("image_id", "phash").persist()
         bands = ph.select(
             "image_id", "phash",
             F.explode(
@@ -881,6 +885,44 @@ GROUP BY 1, 2
       SELECT q_id, vec_id, cosine,
              CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
       FROM scored QUALIFY rank <= 5
+    """
+
+    # ---------------- multimodal stubs, fully value-oracled: the decode is
+    # a DISCLOSED stub (multimodal.py), but its deterministic md5 fakes are
+    # exactly expressible in SQL — so the whole Spark-side contract
+    # (mapInPandas schema, explode fan-out, values) is hash-checked, not
+    # just rows-only. _det64(parts) = first 8 md5 bytes big-endian >> 1;
+    # in SQL as h15*8 + h1//2 (15+1 hex-digit split keeps every
+    # intermediate below 2^63 — a single 16-digit conv overflows BIGINT).
+    def det64_sql(s: str) -> str:
+        m = f"md5({s})"
+        return (
+            f"CAST(CAST('0x' || substr({m},1,15) AS UBIGINT) * 8 "
+            f"+ CAST('0x' || substr({m},16,1) AS UBIGINT) // 2 AS BIGINT)"
+        )
+
+    _clips_cte = (
+        "SELECT 'clip' || CAST(x AS VARCHAR) AS clip_id FROM generate_series(0, 63) t(x)"
+    )
+    o["audio_feats"] = f"""
+      WITH c AS ({_clips_cte})
+      SELECT clip_id,
+             ({det64_sql("'dur|' || clip_id")} % 30000) / 1000.0 AS duration_s,
+             ({det64_sql("'rms|' || clip_id")} % 1000) / 1000.0 AS rms,
+             16000 AS sample_rate
+      FROM c
+    """
+    o["video_frames"] = f"""
+      WITH c AS ({_clips_cte}),
+      nf AS (SELECT clip_id, 30 + ({det64_sql("'nf|' || clip_id")} % 270) AS n_frames FROM c),
+      g AS (
+        SELECT clip_id,
+               CAST(unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 10)) AS INTEGER) AS frame_idx
+        FROM nf
+      )
+      SELECT clip_id, frame_idx,
+             {det64_sql("'fp|' || clip_id || '|' || CAST(frame_idx AS VARCHAR)")} AS frame_phash
+      FROM g
     """
 
     return o
