@@ -130,7 +130,12 @@ def main():
         lines.append(f"| {job} | {n:,} | " + " | ".join(cells) + " | " + "; ".join(row_effs) + " |")
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    md = f"""# BENCH/BASELINE.md — measured scaling evidence
+    md = f"""# BENCH/SCALING_LAST.md — latest raw scaling run
+
+Machine-written by scripts/scaling_bench.py (one file per run, OVERWRITTEN
+each time). The curated, multi-session narrative lives in
+BENCH/BASELINE.md — merge numbers there by hand; this file is the raw
+evidence for the most recent run only.
 
 Same job, same input, multiple parallelism levels (separate JVMs; best of
 {args.repeat} timed runs after one warmup). Sandbox stand-in for N vs 4N
@@ -164,7 +169,7 @@ which is the property that transfers to multi-node.
 Primary-metric snapshot (BASELINE.json: URLs fetched+deduped/sec): see the
 `urls_per_sec` field of BENCH_r*.json (driver-run `bench.py` at sf0.1).
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "SCALING_LAST.md"), "w") as f:
         f.write(md)
     print(json.dumps({"eff": effs}))
 

@@ -81,7 +81,10 @@ def trending_topics(cat: Catalog, k: int = 10, n_related: int = 3) -> DataFrame:
         .filter(F.length("topic") > 0)
         # consumed by four branches below (per-gen counts, sources, the
         # latest-gen filter, and the co-occurrence self-join) — persist so
-        # one action scans + explodes the pages table once, not 4-5 times
+        # one action scans + explodes the pages table once, not 4-5 times.
+        # Caches live until session end (the returned frame is lazy, so
+        # there is no point to unpersist at); they are MEMORY_AND_DISK and
+        # LRU-evicted, and repeated calls share the entry (same lineage).
         .persist()
     )
     per_gen = page_topics.groupBy("topic", "gen").agg(F.count("*").alias("cnt"))
