@@ -57,7 +57,7 @@ spark.stop()
 """
 
 
-def run_level(cores: int, frontier: int, fetch: int, repeat: int) -> dict:
+def run_level(cores: int, frontier: int, fetch: int, repeat: int, pin: bool = False) -> dict:
     env = dict(
         os.environ,
         WSS_REPO=REPO,
@@ -67,9 +67,22 @@ def run_level(cores: int, frontier: int, fetch: int, repeat: int) -> dict:
         WSS_BENCH_FETCH=str(fetch),
         SPARK_GRAFT_CPUS=str(cores),
     )
-    out = subprocess.run(
-        [sys.executable, "-c", WORKER], env=env, capture_output=True, text=True, timeout=2400
-    )
+    cmd = [sys.executable, "-c", WORKER]
+    if pin:
+        # confine the WHOLE process tree (JVM task threads + forked Python
+        # workers, which inherit affinity) to exactly `cores` physical
+        # cores. Without this, local[2] with a pandas-UDF stage really uses
+        # ~2x+ cores on an idle box (N JVM threads pipelining with N Python
+        # worker processes), inflating the small-N baseline and
+        # under-reporting the N-vs-4N ratio a real fixed-size executor
+        # would achieve.
+        # pin to the TOP cores: cpu0 (and its neighbors) absorb kernel
+        # interrupt/housekeeping load, which lands entirely inside a
+        # low-core pin and adds noise exactly where the ratio is most
+        # sensitive (the small-N baseline)
+        n_cpus = os.cpu_count() or 32
+        cmd = ["taskset", "-c", f"{n_cpus - cores}-{n_cpus - 1}"] + cmd
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=2400)
     for line in out.stdout.splitlines():
         if line.startswith("WSS_RESULT "):
             return json.loads(line[len("WSS_RESULT "):])
@@ -83,6 +96,12 @@ def main():
     ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--levels", default="2,8,32", help="comma-separated core counts; N vs 4N pairs are consecutive entries")
     ap.add_argument(
+        "--pin", action="store_true",
+        help="taskset each level's whole process tree to exactly N cores "
+        "(truest single-box N-vs-4N proxy: small-N levels can't borrow "
+        "idle cores for their Python workers)",
+    )
+    ap.add_argument(
         "--passes", type=int, default=1,
         help="interleave the level list this many times and keep each "
         "level's best pass: sequential per-level runs let a few minutes of "
@@ -94,8 +113,10 @@ def main():
     levels = [int(x) for x in args.levels.split(",")]
     results: dict[int, dict] = {}
     for p in range(args.passes):
+        pass_res: dict[int, dict] = {}
         for c in levels:
-            r = run_level(c, args.frontier, args.fetch, args.repeat)
+            r = run_level(c, args.frontier, args.fetch, args.repeat, pin=args.pin)
+            pass_res[c] = r
             if c not in results:
                 results[c] = r
             else:
@@ -105,6 +126,19 @@ def main():
         print(f"pass {p + 1}/{args.passes}: " + json.dumps(
             {c: {j: round(results[c][j]["sec"], 2) for j in ("fetch_extract", "dedup_admission")} for c in levels}
         ), flush=True)
+        # per-pass paired efficiencies: a ratio is only meaningful between
+        # levels measured under the SAME ambient conditions — best-of-level
+        # across passes (the table below) can pair a lucky small-N with an
+        # unlucky 4N; these lines keep the within-pass pairing visible
+        pe = {}
+        for job in ("fetch_extract", "dedup_admission"):
+            for a in levels:
+                b = a * 4
+                if b in levels:
+                    pe[f"{job}:{a}->{b}"] = round(
+                        (pass_res[a][job]["sec"] / pass_res[b][job]["sec"]) / 4, 3
+                    )
+        print(f"pass {p + 1} paired eff: " + json.dumps(pe), flush=True)
 
     jobs = {
         "fetch_extract": args.fetch,
@@ -136,6 +170,8 @@ Machine-written by scripts/scaling_bench.py (one file per run, OVERWRITTEN
 each time). The curated, multi-session narrative lives in
 BENCH/BASELINE.md — merge numbers there by hand; this file is the raw
 evidence for the most recent run only.
+
+Run: levels={",".join(str(c) for c in levels)} passes={args.passes} repeat={args.repeat} fetch={args.fetch:,} frontier={args.frontier:,} pin={args.pin}
 
 Same job, same input, multiple parallelism levels (separate JVMs; best of
 {args.repeat} timed runs after one warmup). Sandbox stand-in for N vs 4N
