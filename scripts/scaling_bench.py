@@ -32,7 +32,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = r"""
 import json, os, sys, time
-sys.path.insert(0, os.environ["WSS_REPO"])
+if not os.environ.get("WSS_VIA_SUBMIT"):
+    # plain-python mode: the repo supplies the code. Under spark-submit the
+    # --py-files zip must be the ONLY source of the package (north-rule
+    # deployment shape) — no path insert, so a missing zip fails loudly.
+    sys.path.insert(0, os.environ["WSS_REPO"])
 from web_scraper_spark.session import get_spark
 import bench
 
@@ -57,7 +61,33 @@ spark.stop()
 """
 
 
-def run_level(cores: int, frontier: int, fetch: int, repeat: int, pin: bool = False) -> dict:
+def build_pyfiles_zip() -> str:
+    """Bundle the engine for spark-submit --py-files (north-rule deploy shape).
+
+    The zip root carries the `web_scraper_spark` package plus the top-level
+    `bench` module, so `--py-files wss.zip` alone makes both importable on
+    the driver and in every Python UDF worker — the exact artifact a real
+    multi-executor cluster submit would ship.
+    """
+    import zipfile
+
+    tmp_root = os.path.join(REPO, ".tmp")
+    os.makedirs(tmp_root, exist_ok=True)
+    zpath = os.path.join(tmp_root, "wss_pyfiles.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(REPO, "web_scraper_spark")
+        for dirpath, dirnames, filenames in os.walk(pkg):
+            dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, REPO))
+        z.write(os.path.join(REPO, "bench.py"), "bench.py")
+    return zpath
+
+
+def run_level(cores: int, frontier: int, fetch: int, repeat: int, pin: bool = False,
+              submit_zip: str | None = None) -> dict:
     env = dict(
         os.environ,
         WSS_REPO=REPO,
@@ -67,7 +97,26 @@ def run_level(cores: int, frontier: int, fetch: int, repeat: int, pin: bool = Fa
         WSS_BENCH_FETCH=str(fetch),
         SPARK_GRAFT_CPUS=str(cores),
     )
-    cmd = [sys.executable, "-c", WORKER]
+    if submit_zip:
+        # north-rule deployment shape: the SAME worker runs via
+        # `spark-submit --py-files wss.zip` with NO repo on sys.path — the
+        # zip is the sole code source, exactly as a multi-executor cluster
+        # submit would ship it. --driver-memory must ride the submit line
+        # (the JVM pre-exists when the builder runs); every other conf in
+        # session.get_spark applies at context creation and carries over.
+        env["WSS_VIA_SUBMIT"] = "1"
+        worker_py = os.path.join(REPO, ".tmp", "scaling_worker.py")
+        with open(worker_py, "w") as f:
+            f.write(WORKER)
+        cmd = [
+            "spark-submit",
+            "--master", f"local[{cores}]",
+            "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "48g"),
+            "--py-files", submit_zip,
+            worker_py,
+        ]
+    else:
+        cmd = [sys.executable, "-c", WORKER]
     if pin:
         # confine the WHOLE process tree (JVM task threads + forked Python
         # workers, which inherit affinity) to exactly `cores` physical
@@ -102,6 +151,12 @@ def main():
         "idle cores for their Python workers)",
     )
     ap.add_argument(
+        "--spark-submit", action="store_true", dest="spark_submit",
+        help="run each level via `spark-submit --master local[N] --py-files "
+        "wss.zip` instead of a plain python subprocess — evidences the "
+        "north rule's deployment shape (the zip is the only code source)",
+    )
+    ap.add_argument(
         "--passes", type=int, default=1,
         help="interleave the level list this many times and keep each "
         "level's best pass: sequential per-level runs let a few minutes of "
@@ -111,11 +166,13 @@ def main():
     args = ap.parse_args()
 
     levels = [int(x) for x in args.levels.split(",")]
+    submit_zip = build_pyfiles_zip() if args.spark_submit else None
     results: dict[int, dict] = {}
     for p in range(args.passes):
         pass_res: dict[int, dict] = {}
         for c in levels:
-            r = run_level(c, args.frontier, args.fetch, args.repeat, pin=args.pin)
+            r = run_level(c, args.frontier, args.fetch, args.repeat, pin=args.pin,
+                          submit_zip=submit_zip)
             pass_res[c] = r
             if c not in results:
                 results[c] = r
@@ -171,7 +228,7 @@ each time). The curated, multi-session narrative lives in
 BENCH/BASELINE.md — merge numbers there by hand; this file is the raw
 evidence for the most recent run only.
 
-Run: levels={",".join(str(c) for c in levels)} passes={args.passes} repeat={args.repeat} fetch={args.fetch:,} frontier={args.frontier:,} pin={args.pin}
+Run: levels={",".join(str(c) for c in levels)} passes={args.passes} repeat={args.repeat} fetch={args.fetch:,} frontier={args.frontier:,} pin={args.pin} spark_submit={args.spark_submit}
 
 Same job, same input, multiple parallelism levels (separate JVMs; best of
 {args.repeat} timed runs after one warmup). Sandbox stand-in for N vs 4N

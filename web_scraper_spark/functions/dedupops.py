@@ -106,7 +106,9 @@ def ngram_jaccard_pairs(
     sh = docs.select(
         F.col(id_col).alias("id"), shingles_expr(F.col(text_col), n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
-    ex = sh.select("id", "n_sh", F.explode("sh").alias("g"))
+    # the exploded inverted index feeds both self-join sides (and the
+    # doc-freq agg when pruning): persist so the shingle kernel runs once
+    ex = sh.select("id", "n_sh", F.explode("sh").alias("g")).persist()
     if max_doc_freq is not None:
         # doc-frequency per shingle: one small agg over the index; the
         # rare-shingle filter is a broadcast-friendly semi-join shape
@@ -210,12 +212,20 @@ def minhash_lsh_pairs(
     bucket's fan-out sub-quadratic (see test_pipeline_ops growth test).
     """
     assert perms % bands == 0, "perms must divide evenly into bands"
+    # `base` feeds the band explode AND both shingle re-attach sides, and
+    # `sig` feeds both sides of the band self-join: unpersisted, Catalyst
+    # duplicates the subtrees and the signature kernel (perms× md5 per
+    # shingle — ~50s/pass at sf0.1, the single most expensive expression in
+    # the engine) runs twice, the shingle kernel four times (measured 173s
+    # → ~60s at sf0.1). Both frames are O(corpus) — MEMORY_AND_DISK default
+    # spills cleanly at scale, and the recompute they avoid is far larger
+    # than the cache.
     base = docs.select(
         F.col(id_col).alias("id"), shingles_expr(F.col(text_col), n).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
+    ).withColumn("n_sh", F.size("sh")).persist()
     sig = base.select(
         "id", "n_sh", minhash_signature_expr(F.col("sh"), perms).alias("sig")
-    )
+    ).persist()
     rows_per_band = perms // bands
     banded = sig.select(
         "id",
@@ -330,7 +340,12 @@ def simhash_pairs(
     oracle), never approximate."""
     assert max_hamming < n_bands, "pigeonhole guarantee needs n_bands > max_hamming"
     assert SIMHASH_BITS % n_bands == 0, f"n_bands must divide {SIMHASH_BITS}"
-    sh = docs.select(F.col(id_col).alias("id"), simhash_expr(F.col(text_col)).alias("sh"))
+    # both sides of the band self-join derive from this frame; without a
+    # persist Catalyst duplicates the subtree and the simhash fold (the
+    # dominant cost) runs twice over the corpus (measured 5.9s → 3.3s at
+    # sf0.1). Cached blocks live until the session drops them (LRU) or the
+    # caller clears the cache — the frame is 2 longs/doc, negligible.
+    sh = docs.select(F.col(id_col).alias("id"), simhash_expr(F.col(text_col)).alias("sh")).persist()
     band_w = SIMHASH_BITS // n_bands
     mask = (1 << band_w) - 1
     bands = sh.select(

@@ -156,10 +156,13 @@ def sign_sig_pairs(
         raise ValueError("sig_bits > 63 overflows the bigint signature")
     width = sig_bits // n_bands
     mask = (1 << width) - 1
+    # both self-join sides derive from this frame: persist so the
+    # sig_bits×dim dot-product kernel runs once over the corpus (same
+    # pattern as simhash_pairs; 2 longs/vector cached)
     s = corpus.select(
         F.col(id_col).alias("vec_id"),
         sign_sig_expr(F.col(vec_col), sig_bits).alias("sig"),
-    )
+    ).persist()
     bands = s.select(
         "vec_id",
         "sig",
