@@ -497,6 +497,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_sig_neardup"] = q_embedding_sig_neardup
 
+    def q_cosine_dup_pairs(spark, sf_dir):
+        """Embedding-cosine near-dup pairs, fully oracled: the EXACT
+        all-pairs baseline (simsearch.cosine_dup_pairs) that the banded
+        sign-sig join (embedding_sig_neardup) and the ANN paths
+        approximate at scale. Threshold 0.35 is data-relative — the
+        synthetic corpus is near-orthogonal (max pair cosine ≈ 0.51 at
+        sf0.01); production near-dup pruning runs the same operator at
+        0.9+. Both engines filter on the ROUND(,6) value so the boundary
+        decision is identical."""
+        e = _emb(spark, sf_dir).withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        return simsearch.cosine_dup_pairs(
+            e, threshold=0.35, id_col="vec_id", vec_col="embedding"
+        ).select(
+            F.col("id_a").alias("vec_a"),
+            F.col("id_b").alias("vec_b"),
+            "cosine",
+        )
+
+    q["cosine_dup_pairs"] = q_cosine_dup_pairs
+
     def q_cosine_to_query(spark, sf_dir):
         e = _emb(spark, sf_dir).withColumn("embedding", F.col("embedding").cast("array<double>"))
         qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
@@ -865,6 +887,14 @@ GROUP BY 1, 2
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, bit_count(xor(a.sig, b.sig)) AS hamming
       FROM s a JOIN s b ON a.vec_id < b.vec_id
       WHERE bit_count(xor(a.sig, b.sig)) <= 2
+    """
+
+    o["cosine_dup_pairs"] = """
+      WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+      FROM d a JOIN d b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.35
     """
 
     o["cosine_to_query"] = """
