@@ -452,6 +452,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedupops.exact_dup_groups(both)
 
     q["exact_dup_groups"] = q_exact_dup_groups
+    def q_dedup_keep_set(spark, sf_dir):
+        """End-to-end training-set dedup: exact fingerprint keep-first +
+        simhash near-dup pruning (drop any doc within hamming 3 of a
+        smaller id), composed into the final keep list. Duplicates are
+        injected (ids +100000 copy the 10 smallest doc_ids, as in
+        exact_dup_groups) so both stages fire; fully SQL-oracled — both
+        stages are exact (pigeonhole band join)."""
+        d = _docs(spark, sf_dir)
+        dup = d.orderBy("doc_id").limit(10).withColumn("doc_id", F.col("doc_id") + 100000)
+        both = d.unionByName(dup)
+        return dedupops.dedup_keep_ids(both, max_hamming=3)
+
+    q["dedup_keep_set"] = q_dedup_keep_set
+
     q["simhash"] = lambda s, d: _docs(s, d).select(
         "doc_id", dedupops.simhash_expr(F.col("text")).alias("sh")
     )
@@ -725,6 +739,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _image_phash_values(n: int, seed: int) -> str:
+    """(image_id, phash) VALUES literal for the image_neardup_lsh oracle —
+    the same deterministic phashes the Spark query stores, derived without
+    Spark (synth.images_pdf is pure pandas/numpy). Memoized: synthesizing
+    n image byte payloads costs ~3s and oracle_sql() may be called more
+    than once in a session."""
+    import pandas as pd
+
+    from web_scraper_spark import synth
+
+    pdf = synth.images_pdf(pd.Series(range(n)), seed)
+    return ", ".join(
+        f"('{i}', {p})" for i, p in zip(pdf["image_id"], pdf["phash"])
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -862,6 +896,17 @@ def oracle_sql() -> dict[str, str]:
       FROM unioned GROUP BY 1 HAVING count(*) > 1
     """
 
+    # same +100000 duplicate injection as exact_dup_groups, run through the
+    # composite keep-set SQL (dedupops.dedup_keep_ids_sql with the unioned
+    # corpus substituted for the table)
+    _unioned = """(
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text
+        FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 10)
+      )"""
+    o["dedup_keep_set"] = dedupops.dedup_keep_ids_sql(max_hamming=3, table=_unioned)
+
     o["simhash"] = f"SELECT doc_id, {dedupops.simhash_sql('text')} AS sh FROM documents"
     o["simhash_pairs"] = dedupops.simhash_pairs_sql(max_hamming=3)
     _mh = ta.md5_60_sql("'mh' || CAST(p.perm AS VARCHAR) || '|' || s.g")
@@ -887,6 +932,21 @@ GROUP BY 1, 2
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, bit_count(xor(a.sig, b.sig)) AS hamming
       FROM s a JOIN s b ON a.vec_id < b.vec_id
       WHERE bit_count(xor(a.sig, b.sig)) <= 2
+    """
+
+    # phash near-dup (J6): the Spark side carries phash through the real
+    # image-synthesis pipeline (bytes → stored phash) and an LSH band
+    # self-join; the oracle re-derives the SAME deterministic phashes in
+    # pure pandas (synth.images_pdf — no Spark) as a VALUES literal and
+    # checks the exact all-pairs hamming join. Pigeonhole (hamming <= 3 <
+    # 4 bands) makes the band join's output identical to all-pairs, so
+    # this is a full value oracle, not a recall check.
+    o["image_neardup_lsh"] = f"""
+      WITH p(image_id, phash) AS (VALUES {_image_phash_values(512, 42)})
+      SELECT a.image_id AS img_a, b.image_id AS img_b,
+             bit_count(xor(a.phash, b.phash)) AS hamming
+      FROM p a JOIN p b ON a.image_id < b.image_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 3
     """
 
     o["cosine_dup_pairs"] = """

@@ -374,6 +374,78 @@ def simhash_pairs(
     )
 
 
+def dedup_keep_ids(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 4,
+) -> DataFrame:
+    """Training-set keep list — the dedup pipeline's end product.
+
+    Drops (a) every byte-identical duplicate except its min-id
+    representative (exact fingerprint groups, data_store.c:104-109
+    keep-first semantics) and (b) every document that is a simhash
+    near-duplicate (hamming <= max_hamming) of a SMALLER id — the greedy
+    keep-first rule, same shape as pairs.neardup_image_ids for images.
+    Returns the surviving (id) rows; deterministic, order-independent.
+
+    Both stages are exact (the simhash band join is pigeonhole-exact for
+    max_hamming < n_bands), so the whole composite is SQL-oracled. Exact
+    duplicates are a subset of the hamming-0 near-dups, but the
+    fingerprint stage is kept explicit: it is the cheap first cut a
+    production pipeline runs before any near-dup pass, and it keeps the
+    keep-set correct if near-dup pruning is configured off
+    (max_hamming < 0 disables stage b).
+
+    Scale shape: one groupBy on the 60-bit fingerprint + the banded
+    simhash self-join (never all-pairs) + two anti-joins on the id —
+    every shuffle keys on high-cardinality columns.
+    """
+    fp = docs.select(F.col(id_col), md5_60_expr(F.col(text_col)).alias("fp"))
+    keep_exact = fp.groupBy("fp").agg(F.min(id_col).alias("_keep"))
+    drops_exact = (
+        fp.join(keep_exact, "fp")
+        .filter(F.col(id_col) != F.col("_keep"))
+        .select(id_col)
+    )
+    drops = drops_exact
+    if max_hamming >= 0:
+        near = simhash_pairs(
+            docs, max_hamming=max_hamming, id_col=id_col,
+            text_col=text_col, n_bands=n_bands,
+        )
+        drops = drops.unionByName(
+            near.select(F.col("doc_b").alias(id_col))
+        )
+    drops = drops.distinct()
+    return docs.select(id_col).join(drops, id_col, "left_anti")
+
+
+def dedup_keep_ids_sql(
+    max_hamming: int = 3, table: str = "documents",
+    id_col: str = "doc_id", text_col: str = "text",
+) -> str:
+    """SQL ground truth for dedup_keep_ids (exact ∪ near-dup drops)."""
+    sh = simhash_sql(text_col)
+    fp = md5_60_sql(text_col)
+    return f"""
+WITH fp AS (SELECT {id_col} AS id, {fp} AS fp FROM {table}),
+exact_drops AS (
+  SELECT f.id FROM fp f
+  JOIN (SELECT fp, min(id) AS m FROM fp GROUP BY fp) g
+    ON f.fp = g.fp AND f.id <> g.m
+),
+sh AS (SELECT {id_col} AS id, {sh} AS sh FROM {table}),
+near_drops AS (
+  SELECT DISTINCT b.id FROM sh a JOIN sh b ON a.id < b.id
+  WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+)
+SELECT d.{id_col} FROM {table} d
+WHERE d.{id_col} NOT IN (SELECT id FROM exact_drops UNION SELECT id FROM near_drops)
+"""
+
+
 def simhash_pairs_sql(
     max_hamming: int = 3, table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
 ) -> str:
