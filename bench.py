@@ -209,6 +209,8 @@ def bench_queries(spark):
         "quality_score": run("quality_score"),
         "simhash": run("simhash"),
         "simhash_pairs": run("simhash_pairs"),
+        "dedup_keep_set": run("dedup_keep_set"),
+        "cosine_dup_pairs": run("cosine_dup_pairs"),
         "ann_brute_topk": run("ann_brute_topk"),
         "embedding_sig_neardup": run("embedding_sig_neardup"),
         "image_invariants": run("image_invariants"),
