@@ -372,7 +372,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---------------- text analysis (P8-P13 + pipeline)
     def _docs(spark, sf_dir):
-        return _t(spark, sf_dir, "documents")
+        # test-SF documents arrive as ONE parquet row group → a 1-partition
+        # scan that serializes every per-doc kernel (simhash/minhash/ngram
+        # folds) onto one core. One narrow shuffle spreads the corpus; at
+        # production scale the table has many row groups and Spark's scan
+        # split does this for free.
+        return _t(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
 
     q["sentiment"] = lambda s, d: _docs(s, d).select(
         "doc_id",
@@ -497,7 +504,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---------------- embeddings: similarity + phash analog (J6)
     def _emb(spark, sf_dir):
-        return _t(spark, sf_dir, "embeddings")
+        # same single-row-group spread as _docs (sign-sig folds, gemm blocks)
+        return _t(spark, sf_dir, "embeddings").repartition(
+            spark.sparkContext.defaultParallelism, "vec_id"
+        )
 
     def q_embedding_sig_neardup(spark, sf_dir):
         """16-bit sign signature of the embedding (the phash analog) →
@@ -909,7 +919,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["simhash"] = f"SELECT doc_id, {dedupops.simhash_sql('text')} AS sh FROM documents"
     o["simhash_pairs"] = dedupops.simhash_pairs_sql(max_hamming=3)
-    _mh = ta.md5_60_sql("'mh' || CAST(p.perm AS VARCHAR) || '|' || s.g")
+    _mh = dedupops.minhash_term_sql("p.perm", "s.g")
     o["minhash_sig"] = f"""
 WITH sh AS (
   SELECT doc_id, unnest({dedupops.shingles_sql('text', 8)}) AS g FROM documents
