@@ -487,9 +487,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_minhash_sig(spark, sf_dir):
         """The MinHash signature kernel itself, fully SQL-oracled: the LSH
         PAIR set is rows-only by design (banding recall < 1), but each
-        signature — min over shingles of md5-60('mh{p}|' + gram) per
-        permutation — is exactly expressible in DuckDB. Exploded to one row
-        per (doc, permutation) so the driver compares scalar int64s."""
+        signature — min over shingles of the Carter-Wegman affine hash of
+        the gram's md5-60 (dedupops.minhash_term_sql) per permutation — is
+        exactly expressible in DuckDB. Exploded to one row per
+        (doc, permutation) so the driver compares scalar int64s."""
         sig = _docs(spark, sf_dir).select(
             "doc_id",
             dedupops.minhash_signature_expr(
