@@ -90,6 +90,26 @@ class TestDedup:
             got, ddb, dedupops.ngram_jaccard_pairs_sql(threshold=0.12, n=8), ["doc_a", "doc_b"]
         )
 
+    def test_ngram_128bit_key_identical(self, docs):
+        """key_bits=128 (16-byte md5 binary key, the 10^12-gram collision-
+        proof path) must produce byte-identical pairs to the default 60-bit
+        long key on a collision-free corpus — same plan, wider key."""
+        import pytest
+
+        k60 = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dedupops.ngram_jaccard_pairs(docs, threshold=0.12, n=8).collect()
+        }
+        k128 = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dedupops.ngram_jaccard_pairs(
+                docs, threshold=0.12, n=8, key_bits=128
+            ).collect()
+        }
+        assert k60 == k128 and len(k60) > 0
+        with pytest.raises(ValueError):
+            dedupops.ngram_jaccard_pairs(docs, key_bits=64)
+
     def test_minhash_candidates_are_true_pairs(self, docs):
         """LSH+verify output ⊆ exact output; recall reported not asserted
         (approximation contract)."""

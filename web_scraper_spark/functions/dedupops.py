@@ -84,6 +84,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_doc_freq: int | None = None,
+    key_bits: int = 60,
 ) -> DataFrame:
     """EXACT Jaccard similarity self-join on n-gram shingle sets.
 
@@ -103,20 +104,32 @@ def ngram_jaccard_pairs(
     (rare) shingles and survive. This is the standard doc-frequency cut
     from the dedup literature, and the companion candidate-growth test
     pins the sub-quadratic behavior on a hot-shingle corpus.
+
+    key_bits ∈ {60, 128} picks the hashed join-key width. 60 (default) is
+    an int64 — the cheapest shuffle/compare payload; distinct-gram
+    collision odds ≈ m²/2^61, negligible below ~10^9 distinct grams. At
+    the 10^12-gram corpus scale pass key_bits=128: the key becomes the
+    full 16-byte md5 digest (fixed-width binary — still an equi-join,
+    p_collision ≈ m²/2^129 ≈ 10^-15), trading 8 extra bytes per index row
+    for collision-proof |∩| counts.
     """
+    if key_bits not in (60, 128):
+        raise ValueError(f"key_bits must be 60 or 128, got {key_bits}")
+    key_of = (
+        (lambda c: F.unhex(F.md5(c))) if key_bits == 128 else md5_60_expr
+    )
     sh = docs.select(
         F.col(id_col).alias("id"), shingles_expr(F.col(text_col), n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     # the exploded inverted index feeds both self-join sides (and the
     # doc-freq agg when pruning): persist so the shingle kernel runs once.
-    # Join key = md5-60 of the gram, not the gram string: the n²-shaped
-    # shuffle moves/compares fixed 8-byte longs instead of 8-char UTF8
-    # (measured 13.9s → 9.3s at sf0.1). |∩| stays exact up to 60-bit
-    # collisions between DISTINCT grams of one corpus (p ≈ m²/2^61 — at
-    # 10^12 grams switch to a 2×64-bit key).
+    # Join key = hashed gram, not the gram string: the n²-shaped shuffle
+    # moves/compares fixed-width keys instead of n-char UTF8 (measured
+    # 13.9s → 9.3s at sf0.1 with the 60-bit long key; key_bits=128 keeps
+    # the same plan with a 16-byte binary key).
     ex = sh.select(
         "id", "n_sh", F.explode("sh").alias("g")
-    ).select("id", "n_sh", md5_60_expr(F.col("g")).alias("g")).persist()
+    ).select("id", "n_sh", key_of(F.col("g")).alias("g")).persist()
     if max_doc_freq is not None:
         # doc-frequency per shingle: one small agg over the index; the
         # rare-shingle filter is a broadcast-friendly semi-join shape
