@@ -770,6 +770,41 @@ def _image_phash_values(n: int, seed: int) -> str:
     )
 
 
+@functools.lru_cache(maxsize=4)
+def _image_invariant_values(n: int, seed: int) -> str:
+    """(image_id, fmt, w_ok, h_ok, phash_ok, decode_ok) VALUES literal for
+    the image_invariants oracle. Re-derives the invariants WITHOUT Spark:
+    pure-pandas synthesis (synth.images_pdf) + a direct single-process call
+    of the same decode/phash kernels the mapInPandas stage wraps — so the
+    oracle checks the distributed plumbing (Arrow batching, the persist +
+    compare join, schema) against an independent sequential derivation."""
+    import pandas as pd
+
+    from web_scraper_spark import synth
+    from web_scraper_spark.functions import imageops
+    from web_scraper_spark.functions.multimodal import SUPPORTED_IMAGE_FMTS
+
+    def lit(x):
+        return "NULL" if x is None else ("TRUE" if x else "FALSE")
+
+    pdf = synth.images_pdf(pd.Series(range(n)), seed)
+    rows = []
+    for r in pdf.itertuples(index=False):
+        if r.fmt in SUPPORTED_IMAGE_FMTS and r.bytes is not None:
+            arr = imageops.decode_image(bytes(r.bytes), r.fmt)
+            w_ok = int(arr.shape[1]) == int(r.w)
+            h_ok = int(arr.shape[0]) == int(r.h)
+            p_ok = imageops.phash64(arr) == int(r.phash)
+            ok = True
+        else:
+            w_ok = h_ok = p_ok = None  # Spark's NULL == col is NULL
+            ok = False
+        rows.append(
+            f"('{r.image_id}', '{r.fmt}', {lit(w_ok)}, {lit(h_ok)}, {lit(p_ok)}, {lit(ok)})"
+        )
+    return ", ".join(rows)
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -952,6 +987,14 @@ GROUP BY 1, 2
     # checks the exact all-pairs hamming join. Pigeonhole (hamming <= 3 <
     # 4 bands) makes the band join's output identical to all-pairs, so
     # this is a full value oracle, not a recall check.
+    # image invariants (input_hint per-row contract): full value oracle —
+    # the expected boolean row set is re-derived sequentially in pure
+    # pandas/numpy (no Spark) and inlined as a VALUES literal.
+    o["image_invariants"] = f"""
+      SELECT * FROM (VALUES {_image_invariant_values(256, 42)})
+        AS t(image_id, fmt, w_ok, h_ok, phash_ok, decode_ok)
+    """
+
     o["image_neardup_lsh"] = f"""
       WITH p(image_id, phash) AS (VALUES {_image_phash_values(512, 42)})
       SELECT a.image_id AS img_a, b.image_id AS img_b,
