@@ -208,6 +208,96 @@ class TestStreamingCrawlEndToEnd:
                 assert r["fetch_time"] >= by_host_last[r["host"]] + 0.999, r
 
 
+class TestStreamingDocumentKeepSet:
+    def test_keep_first_across_batches_and_restart(self, spark, tmp_path):
+        """Streaming corpus dedup (the batch exact_dedup twin): each
+        distinct text is kept exactly once across micro-batches AND a
+        checkpoint restart; in-stream duplicates collapse; the kept
+        fingerprint set equals the batch kernel's fingerprint set."""
+        from web_scraper_spark.functions.textanalysis import md5_60_expr
+        from web_scraper_spark.streaming.dedup_stream import dedup_documents_stream
+
+        docs = str(tmp_path / "docs")
+        out = str(tmp_path / "kept")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(docs, exist_ok=True)
+
+        def drop(rows):
+            spark.createDataFrame(
+                rows, "doc_id long, text string, event_time double"
+            ).coalesce(1).write.mode("append").parquet(docs)
+
+        texts1 = [f"document body {i}" for i in range(6)]
+        # 6 distinct texts, 2 duplicated inside the same drop
+        drop([(i, t, 0.0) for i, t in enumerate(texts1)]
+             + [(100, texts1[0], 0.0), (101, texts1[1], 0.0)])
+        dedup_documents_stream(spark, docs, out, ckpt).awaitTermination()
+        got1 = spark.read.parquet(out).collect()
+        assert len(got1) == 6
+        assert sorted({r["text"] for r in got1}) == sorted(texts1)
+
+        # drop 2: full overlap with drop 1 + 3 new texts; restart from the
+        # same checkpoint — only the new texts may appear
+        texts2 = [f"document body {i}" for i in range(4, 9)]
+        drop([(200 + i, t, 1.0) for i, t in enumerate(texts2)])
+        dedup_documents_stream(spark, docs, out, ckpt).awaitTermination()
+        got2 = spark.read.parquet(out).collect()
+        assert len(got2) == 9
+        assert sorted({r["text"] for r in got2}) == sorted(set(texts1) | set(texts2))
+        # kept ids from drop 1 unchanged (never re-emitted / replaced)
+        ids1 = {r["text"]: r["doc_id"] for r in got1}
+        for r in got2:
+            if r["text"] in ids1:
+                assert r["doc_id"] == ids1[r["text"]]
+        # fingerprints match the batch kernel exactly
+        expect_fp = {
+            r["fp"]
+            for r in spark.createDataFrame(
+                [(t,) for t in set(texts1) | set(texts2)], "text string"
+            ).select(md5_60_expr(F.col("text")).alias("fp")).collect()
+        }
+        assert {r["fp"] for r in got2} == expect_fp
+
+    def test_ttl_allows_rekeep_after_expiry(self, spark, tmp_path):
+        """Bounded-state mode: with ttl set, a text whose state row has
+        aged out of the watermark may be kept AGAIN. The watermark (and so
+        eviction) advances at the END of a batch, one batch behind event
+        time — a duplicate arriving in the same batch that moves the clock
+        is still suppressed; the NEXT batch sees it re-kept."""
+        from web_scraper_spark.streaming.dedup_stream import dedup_documents_stream
+
+        docs = str(tmp_path / "docs")
+        out = str(tmp_path / "kept")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(docs, exist_ok=True)
+
+        def drop(rows):
+            spark.createDataFrame(
+                rows, "doc_id long, text string, event_time double"
+            ).coalesce(1).write.mode("append").parquet(docs)
+
+        def run():
+            dedup_documents_stream(spark, docs, out, ckpt, ttl=10).awaitTermination()
+
+        # NOT t=0: the initial watermark is epoch 0, and a row at or below
+        # the watermark is discarded as late before it ever reaches the
+        # dedup state (empirically verified; applies to any watermarked op)
+        drop([(1, "repeat me", 100.0)])
+        run()
+        # same text 900s later: moves the watermark to 990 at batch END,
+        # but the t=100 state row (expiry 110) was live when this batch
+        # was planned → still suppressed here; expiry is NOT extended
+        drop([(2, "repeat me", 1000.0)])
+        run()
+        got = spark.read.parquet(out).collect()
+        assert len(got) == 1 and got[0]["doc_id"] == 1
+        # next batch: watermark 990 > expiry 110 → state evicted → re-kept
+        drop([(3, "repeat me", 1000.0)])
+        run()
+        got = spark.read.parquet(out).collect()
+        assert len(got) == 2 and {r["doc_id"] for r in got} == {1, 3}
+
+
 class TestStreamingRobotsAndFailures:
     def test_disallowed_never_fetched_failures_routed_resume_exact(self, spark, tmp_path):
         """Round-3 parity: the stream composes the SAME broadcast robots
