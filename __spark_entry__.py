@@ -682,6 +682,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_invariants"] = q_image_invariants
 
+    def q_image_resize(spark, sf_dir):
+        """Training-shard normalizer (multimodal.resize_images): decode →
+        deterministic area-resample to 16×16 → re-encode ppm, all inside
+        one mapInPandas stage. The binary output is digested to md5 hex so
+        the oracle can hash-check every byte without a binary column."""
+        from web_scraper_spark import synth
+        from web_scraper_spark.functions import multimodal
+
+        imgs = synth.images_df(spark, 128, seed=42)
+        out = multimodal.resize_images(imgs, size=16)
+        return out.select(
+            "image_id", "w", "h", "fmt", F.md5(F.col("bytes")).alias("bytes_md5")
+        )
+
+    q["image_resize"] = q_image_resize
+
     def q_image_neardup_lsh(spark, sf_dir):
         """phash near-duplicate pruning (J6) on the image table."""
         from web_scraper_spark import synth
@@ -802,6 +818,29 @@ def _image_invariant_values(n: int, seed: int) -> str:
         rows.append(
             f"('{r.image_id}', '{r.fmt}', {lit(w_ok)}, {lit(h_ok)}, {lit(p_ok)}, {lit(ok)})"
         )
+    return ", ".join(rows)
+
+
+@functools.lru_cache(maxsize=4)
+def _image_resize_values(n: int, seed: int, size: int) -> str:
+    """(image_id, w, h, fmt, bytes_md5) VALUES literal for the
+    image_resize oracle — the full decode → area-resample → ppm re-encode
+    chain re-run sequentially in pure pandas/numpy, every output byte
+    pinned via md5."""
+    import hashlib
+
+    import pandas as pd
+
+    from web_scraper_spark import synth
+    from web_scraper_spark.functions import imageops
+    from web_scraper_spark.functions.multimodal import _area_resize
+
+    pdf = synth.images_pdf(pd.Series(range(n)), seed)
+    rows = []
+    for r in pdf.itertuples(index=False):
+        arr = _area_resize(imageops.decode_image(bytes(r.bytes), r.fmt), size)
+        digest = hashlib.md5(imageops.encode_ppm(arr)).hexdigest()
+        rows.append(f"('{r.image_id}', {size}, {size}, 'ppm', '{digest}')")
     return ", ".join(rows)
 
 
@@ -993,6 +1032,11 @@ GROUP BY 1, 2
     o["image_invariants"] = f"""
       SELECT * FROM (VALUES {_image_invariant_values(256, 42)})
         AS t(image_id, fmt, w_ok, h_ok, phash_ok, decode_ok)
+    """
+
+    o["image_resize"] = f"""
+      SELECT * FROM (VALUES {_image_resize_values(128, 42, 16)})
+        AS t(image_id, w, h, fmt, bytes_md5)
     """
 
     o["image_neardup_lsh"] = f"""
