@@ -728,6 +728,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_neardup_lsh"] = q_image_neardup_lsh
 
+    def q_image_keep_set(spark, sf_dir):
+        """Image training keep-set (pairs.neardup_image_ids → anti-join):
+        drop every image within phash hamming 3 of a lexicographically
+        smaller id, keep the rest — the image twin of dedup_keep_set.
+        Pigeonhole (3 < 4 bands) makes the LSH drop set exact, so the
+        whole composite is value-oracled against the same pure-pandas
+        phashes as image_neardup_lsh."""
+        from web_scraper_spark import synth
+        from web_scraper_spark.operators import pairs as pairs_ops
+
+        imgs = synth.images_df(spark, 512, seed=42).select("image_id", "phash")
+        drops = pairs_ops.neardup_image_ids(imgs, max_hamming=3)
+        return imgs.join(drops, "image_id", "left_anti")
+
+    q["image_keep_set"] = q_image_keep_set
+
     def _clips(spark, n=64):
         # deterministic fake clip table: the decode step is a DISCLOSED
         # stub (no codec libs in this sandbox — multimodal.py), so bytes
@@ -1045,6 +1061,17 @@ GROUP BY 1, 2
              bit_count(xor(a.phash, b.phash)) AS hamming
       FROM p a JOIN p b ON a.image_id < b.image_id
       WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """
+
+    o["image_keep_set"] = f"""
+      WITH p(image_id, phash) AS (VALUES {_image_phash_values(512, 42)}),
+      drops AS (
+        SELECT DISTINCT b.image_id FROM p a JOIN p b
+          ON a.image_id < b.image_id
+         AND bit_count(xor(a.phash, b.phash)) <= 3
+      )
+      SELECT image_id, phash FROM p
+      WHERE image_id NOT IN (SELECT image_id FROM drops)
     """
 
     o["cosine_dup_pairs"] = """

@@ -67,7 +67,10 @@ def neardup_image_ids(
     10^9+ images — tune n_bands to corpus size, t stays the contract."""
     assert max_hamming < n_bands, "pigeonhole guarantee needs n_bands > max_hamming"
     assert 64 % n_bands == 0, "n_bands must divide 64"
-    ph = images.select("image_id", "phash")
+    # both band-join sides derive from this projection: persist it or
+    # Catalyst re-executes the upstream (possibly image-synthesis/decode)
+    # subtree once per side
+    ph = images.select("image_id", "phash").persist()
     bands = ph.select(
         "image_id",
         "phash",
