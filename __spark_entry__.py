@@ -473,6 +473,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_keep_set"] = q_dedup_keep_set
 
+    def q_corpus_clean(spark, sf_dir):
+        """The full text-side training-data pipeline as ONE composite:
+        language filter (keep 'en') + quality threshold (>= 0.9) + the
+        exact+near-dup keep-set (dedup_keep_ids, hamming <= 3), returning
+        each surviving doc with its scores. Duplicates are injected (as in
+        dedup_keep_set) so the dedup stage provably fires. Every stage is
+        an exact kernel with a SQL twin, so the whole pipeline is
+        value-oracled end to end."""
+        d = _docs(spark, sf_dir)
+        dup = d.orderBy("doc_id").limit(10).withColumn("doc_id", F.col("doc_id") + 100000)
+        both = d.unionByName(dup)
+        scored = (
+            both.select(
+                "doc_id",
+                "text",
+                ta.lang_id_expr(F.col("text")).alias("lang_pred"),
+                ta.quality_score_expr(F.col("text")).alias("quality"),
+                ta.token_count_expr(F.col("text")).cast("bigint").alias("n_tokens"),
+            )
+            .filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.9))
+            # feeds the dedup derivation AND the final semi-join: one pass
+            .persist()
+        )
+        kept = dedupops.dedup_keep_ids(scored, max_hamming=3)
+        return scored.join(kept, "doc_id", "left_semi").select(
+            "doc_id", "lang_pred", "quality", "n_tokens"
+        )
+
+    q["corpus_clean"] = q_corpus_clean
+
     q["simhash"] = lambda s, d: _docs(s, d).select(
         "doc_id", dedupops.simhash_expr(F.col("text")).alias("sh")
     )
@@ -1007,6 +1037,24 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 10)
       )"""
     o["dedup_keep_set"] = dedupops.dedup_keep_ids_sql(max_hamming=3, table=_unioned)
+
+    # the composite pipeline: score + filter the unioned corpus, run the
+    # keep-set SQL over the filtered subquery, re-attach the scores
+    _filt = f"""(
+        SELECT doc_id, text,
+               {ta.lang_id_sql('text')} AS lang_pred,
+               {ta.quality_score_sql('text')} AS quality,
+               {ta.token_count_sql('text')} AS n_tokens
+        FROM {_unioned} u
+        WHERE {ta.lang_id_sql('text')} = 'en'
+          AND {ta.quality_score_sql('text')} >= 0.9
+      )"""
+    o["corpus_clean"] = f"""
+      SELECT f.doc_id, f.lang_pred, f.quality, f.n_tokens
+      FROM {_filt} f
+      JOIN ({dedupops.dedup_keep_ids_sql(max_hamming=3, table=_filt)}) k
+        USING (doc_id)
+    """
 
     o["simhash"] = f"SELECT doc_id, {dedupops.simhash_sql('text')} AS sh FROM documents"
     o["simhash_pairs"] = dedupops.simhash_pairs_sql(max_hamming=3)

@@ -210,6 +210,7 @@ def bench_queries(spark):
         "simhash": run("simhash"),
         "simhash_pairs": run("simhash_pairs"),
         "dedup_keep_set": run("dedup_keep_set"),
+        "corpus_clean": run("corpus_clean"),
         "cosine_dup_pairs": run("cosine_dup_pairs"),
         "ann_brute_topk": run("ann_brute_topk"),
         "embedding_sig_neardup": run("embedding_sig_neardup"),
