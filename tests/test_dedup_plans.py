@@ -90,3 +90,47 @@ def test_keep_set_no_cartesian_and_anti_join(spark):
     assert not audit.has_cartesian(df)
     assert "LeftAnti" in audit.physical_plan(df)
     spark.catalog.clearCache()
+
+
+def test_image_keep_set_banded_no_cartesian(spark):
+    """The image keep-set's near-dup drop derivation is a band-bucket
+    equi-join over a persisted (image_id, phash) projection, composed
+    into an anti-join — never cartesian, kernel subtree not duplicated."""
+    from web_scraper_spark.operators import pairs as pairs_ops
+    from web_scraper_spark.synth import images_df
+
+    imgs = images_df(spark, 64, seed=42).select("image_id", "phash")
+    kept = imgs.join(
+        pairs_ops.neardup_image_ids(imgs, max_hamming=3), "image_id", "left_anti"
+    )
+    plan = audit.physical_plan(kept)
+    assert not audit.has_cartesian(kept)
+    assert "LeftAnti" in plan
+    assert "InMemoryTableScan" in plan, plan[:500]
+    spark.catalog.clearCache()
+
+
+def test_corpus_clean_composite_plan(spark):
+    """The full text pipeline (filter + scores + keep-set) keeps the same
+    guarantees as its parts: no cartesian anywhere, the scored frame is
+    cached once and feeds every branch, and the dedup is an anti-join."""
+    from web_scraper_spark.functions import textanalysis as ta
+
+    scored = (
+        _docs(spark)
+        .select(
+            "doc_id", "text",
+            ta.lang_id_expr(F.col("text")).alias("lang_pred"),
+            ta.quality_score_expr(F.col("text")).alias("quality"),
+        )
+        .filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.9))
+        .persist()
+    )
+    kept = scored.join(
+        dedupops.dedup_keep_ids(scored, max_hamming=3), "doc_id", "left_semi"
+    )
+    plan = audit.physical_plan(kept)
+    assert not audit.has_cartesian(kept)
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+    assert "InMemoryTableScan" in plan, plan[:500]
+    spark.catalog.clearCache()
