@@ -503,6 +503,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_clean"] = q_corpus_clean
 
+    def q_dup_clusters(spark, sf_dir):
+        """Transitive dup clusters: connected components over the simhash
+        near-dup graph by hash-min label propagation (driver-controlled,
+        executor-executed iterations with localCheckpoint lineage cuts) —
+        every doc labeled with the min id reachable through near-dup
+        edges. The one dedup semantics a single join cannot express;
+        value-oracled via a DuckDB recursive CTE over the same closure."""
+        return dedupops.dup_clusters(_docs(spark, sf_dir), max_hamming=3)
+
+    q["dup_clusters"] = q_dup_clusters
+
     q["simhash"] = lambda s, d: _docs(s, d).select(
         "doc_id", dedupops.simhash_expr(F.col("text")).alias("sh")
     )
@@ -1037,6 +1048,8 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 10)
       )"""
     o["dedup_keep_set"] = dedupops.dedup_keep_ids_sql(max_hamming=3, table=_unioned)
+
+    o["dup_clusters"] = dedupops.dup_clusters_sql(max_hamming=3)
 
     # the composite pipeline: score + filter the unioned corpus, run the
     # keep-set SQL over the filtered subquery, re-attach the scores

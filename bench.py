@@ -211,6 +211,7 @@ def bench_queries(spark):
         "simhash_pairs": run("simhash_pairs"),
         "dedup_keep_set": run("dedup_keep_set"),
         "corpus_clean": run("corpus_clean"),
+        "dup_clusters": run("dup_clusters"),
         "cosine_dup_pairs": run("cosine_dup_pairs"),
         "ann_brute_topk": run("ann_brute_topk"),
         "embedding_sig_neardup": run("embedding_sig_neardup"),

@@ -110,6 +110,41 @@ class TestDedup:
         with pytest.raises(ValueError):
             dedupops.ngram_jaccard_pairs(docs, key_bits=64)
 
+    def test_dup_clusters_match_union_find(self, docs, ddb):
+        """Connected components over the near-dup graph: (a) equals the
+        DuckDB recursive-CTE closure, (b) equals a Python union-find over
+        the exact pair set, (c) actually exercises transitivity — at least
+        one cluster must have >= 3 members, i.e. contain a doc pair with
+        no direct edge that is joined only through the closure."""
+        got = {
+            (r["doc_id"], r["cluster_id"])
+            for r in dedupops.dup_clusters(docs, max_hamming=3).collect()
+        }
+        spark_pairs = [
+            (r["doc_a"], r["doc_b"])
+            for r in dedupops.simhash_pairs(docs, max_hamming=3).collect()
+        ]
+        parent = {r[0]: r[0] for r in got}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in spark_pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {(i, find(i)) for i in parent}
+        assert got == want
+        from collections import Counter
+
+        sizes = Counter(c for _, c in got)
+        assert max(sizes.values()) >= 3, "corpus has no transitive chain"
+        ddb_rows = set(ddb.sql(dedupops.dup_clusters_sql(max_hamming=3)).fetchall())
+        assert got == ddb_rows
+
     def test_minhash_candidates_are_true_pairs(self, docs):
         """LSH+verify output ⊆ exact output; recall reported not asserted
         (approximation contract)."""

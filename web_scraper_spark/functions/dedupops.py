@@ -546,3 +546,118 @@ SELECT a.id AS doc_a, b.id AS doc_b, bit_count(xor(a.sh, b.sh)) AS hamming
 FROM sh a JOIN sh b ON a.id < b.id
 WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
 """
+
+
+# --------------------------------------------------------------------------
+# transitive dup clusters — connected components over the near-dup graph
+# --------------------------------------------------------------------------
+
+
+def dup_clusters(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 4,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over the simhash near-dup graph: every doc
+    labeled with the MIN id reachable through near-dup edges (its cluster
+    id; singletons label themselves). The transitive closure is what a
+    production dedup actually keys on — A~B and B~C must land in ONE
+    cluster even when A~C itself is beyond the hamming radius — and it is
+    the one dedup semantics a single join cannot express.
+
+    Algorithm: hash-min label propagation (the standard distributed CC —
+    Kang et al., PEGASUS; GraphX/GraphFrames use the same shape). Each
+    round is one equi-join (edges × labels) + one groupBy-min; rounds
+    until fixpoint, O(component diameter) of them — near-dup components
+    are shallow (dup clusters, not social graphs), so typically 2-4.
+    The iteration is driver-CONTROLLED but executor-EXECUTED: the driver
+    sees only the converged-changes count per round, never data rows.
+    Each round's labels are persisted and localCheckpoint()ed — without
+    the lineage cut, round k's plan would embed k copies of the join
+    tree and Catalyst re-canonicalization would dominate past ~10 rounds
+    (the classic iterative-algorithm trap at scale).
+
+    Exactness: the edge set comes from simhash_pairs, pigeonhole-exact
+    for max_hamming < n_bands, and hash-min converges to the unique
+    minimum per component — so the whole operator is deterministic and
+    SQL-oracled (dup_clusters_sql walks the same closure with a
+    recursive CTE).
+    """
+    pairs = simhash_pairs(
+        docs, max_hamming=max_hamming, id_col=id_col,
+        text_col=text_col, n_bands=n_bands,
+    )
+    # symmetric edge list: propagate labels BOTH directions so min labels
+    # cross the a<b canonicalization
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    # iterate ONLY over nodes that have an edge: a doc with no near-dup
+    # edge keeps label=id forever, so singletons (the overwhelming
+    # majority of a real corpus) never enter the loop's working set —
+    # they are re-attached after convergence with a left join.
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    labels = labels.localCheckpoint(eager=True)  # also persists (MEMORY_AND_DISK)
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        # nbr covers every node in `labels` (the edge list is symmetric,
+        # so each iterated node has >= 1 neighbor), hence an inner join;
+        # `chg` rides along so convergence is one agg over the
+        # materialized frame, not a join against the previous labels
+        new = (
+            labels.join(nbr, labels["id"] == nbr["src"])
+            .select(
+                "id",
+                F.least(F.col("label"), F.col("nbr_label")).alias("label"),
+                (F.col("nbr_label") < F.col("label")).cast("int").alias("chg"),
+            )
+        )
+        new = new.localCheckpoint(eager=True)
+        changed = new.agg(F.sum("chg")).collect()[0][0]
+        labels.unpersist()  # frees the previous round's checkpoint blocks
+        labels = new.drop("chg")
+        if not changed:
+            break
+    result = (
+        docs.select(F.col(id_col))
+        .join(labels.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    edges.unpersist()
+    return result
+
+
+def dup_clusters_sql(
+    max_hamming: int = 3, table: str = "documents",
+    id_col: str = "doc_id", text_col: str = "text",
+) -> str:
+    """SQL ground truth for dup_clusters: a recursive CTE walks the same
+    near-dup closure and takes the min reachable id per doc."""
+    sh = simhash_sql(text_col)
+    return f"""
+WITH RECURSIVE
+sh AS (SELECT {id_col} AS id, {sh} AS sh FROM {table}),
+edges AS (
+  SELECT a.id AS src, b.id AS dst FROM sh a JOIN sh b
+    ON a.id <> b.id AND bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+),
+walk(id, label) AS (
+  SELECT id, id FROM sh
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id
+)
+SELECT id AS {id_col}, min(label) AS cluster_id FROM walk GROUP BY id
+"""
