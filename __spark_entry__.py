@@ -740,34 +740,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["image_resize"] = q_image_resize
 
     def q_image_neardup_lsh(spark, sf_dir):
-        """phash near-duplicate pruning (J6) on the image table."""
+        """phash near-duplicate pruning (J6) on the image table: LSH band
+        self-join over the persisted (id, phash) projection
+        (pairs.neardup_image_pairs)."""
         from web_scraper_spark import synth
-        from web_scraper_spark.functions.imageops import hamming_expr, phash_band_exprs
+        from web_scraper_spark.operators import pairs as pairs_ops
 
-        # both sides of the band self-join derive from this frame: persist
-        # the slim (id, phash) projection so image-byte synthesis runs once
         imgs = synth.images_df(spark, 512, seed=42)
-        ph = imgs.select("image_id", "phash").persist()
-        bands = ph.select(
-            "image_id", "phash",
-            F.explode(
-                F.array(*[
-                    F.struct(F.lit(i).alias("band"), e.alias("bv"))
-                    for i, e in enumerate(phash_band_exprs(F.col("phash")))
-                ])
-            ).alias("bb"),
-        ).select("image_id", "phash", "bb.band", "bb.bv")
-        a = bands.select(F.col("image_id").alias("img_a"), F.col("phash").alias("pa"), "band", "bv")
-        b = bands.select(F.col("image_id").alias("img_b"), F.col("phash").alias("pb"), "band", "bv")
-        return (
-            a.join(b, ["band", "bv"])
-            .filter(F.col("img_a") < F.col("img_b"))
-            .select("img_a", "img_b", hamming_expr(F.col("pa"), F.col("pb")).alias("hamming"))
-            .dropDuplicates(["img_a", "img_b"])
-            .filter(F.col("hamming") <= 3)
-        )
+        return pairs_ops.neardup_image_pairs(imgs, max_hamming=3)
 
     q["image_neardup_lsh"] = q_image_neardup_lsh
+
+    def q_image_dup_clusters(spark, sf_dir):
+        """Transitive image dup clusters: connected components over the
+        phash near-dup graph (pairs.image_dup_clusters — the image twin of
+        dup_clusters); value-oracled via a DuckDB recursive CTE over the
+        same pure-pandas phashes."""
+        from web_scraper_spark import synth
+        from web_scraper_spark.operators import pairs as pairs_ops
+
+        imgs = synth.images_df(spark, 512, seed=42)
+        return pairs_ops.image_dup_clusters(imgs, max_hamming=3)
+
+    q["image_dup_clusters"] = q_image_dup_clusters
 
     def q_image_keep_set(spark, sf_dir):
         """Image training keep-set (pairs.neardup_image_ids → anti-join):
@@ -1133,6 +1128,22 @@ GROUP BY 1, 2
       )
       SELECT image_id, phash FROM p
       WHERE image_id NOT IN (SELECT image_id FROM drops)
+    """
+
+    o["image_dup_clusters"] = f"""
+      WITH RECURSIVE
+      p(image_id, phash) AS (VALUES {_image_phash_values(512, 42)}),
+      edges AS (
+        SELECT a.image_id AS src, b.image_id AS dst FROM p a JOIN p b
+          ON a.image_id <> b.image_id
+         AND bit_count(xor(a.phash, b.phash)) <= 3
+      ),
+      walk(id, label) AS (
+        SELECT image_id, image_id FROM p
+        UNION
+        SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id
+      )
+      SELECT id AS image_id, min(label) AS cluster_id FROM walk GROUP BY id
     """
 
     o["cosine_dup_pairs"] = """

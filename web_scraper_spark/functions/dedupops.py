@@ -553,53 +553,36 @@ WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
 # --------------------------------------------------------------------------
 
 
-def dup_clusters(
-    docs: DataFrame,
-    max_hamming: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_bands: int = 4,
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    a_col: str = "src",
+    b_col: str = "dst",
     max_iters: int = 50,
 ) -> DataFrame:
-    """Connected components over the simhash near-dup graph: every doc
-    labeled with the MIN id reachable through near-dup edges (its cluster
-    id; singletons label themselves). The transitive closure is what a
-    production dedup actually keys on — A~B and B~C must land in ONE
-    cluster even when A~C itself is beyond the hamming radius — and it is
-    the one dedup semantics a single join cannot express.
-
-    Algorithm: hash-min label propagation (the standard distributed CC —
-    Kang et al., PEGASUS; GraphX/GraphFrames use the same shape). Each
-    round is one equi-join (edges × labels) + one groupBy-min; rounds
-    until fixpoint, O(component diameter) of them — near-dup components
-    are shallow (dup clusters, not social graphs), so typically 2-4.
+    """Generic distributed connected components by hash-min label
+    propagation (Kang et al., PEGASUS; the GraphX/GraphFrames shape):
+    every node in `nodes` labeled with the MIN id reachable through
+    `pairs` edges — (id_col, cluster_id); nodes without edges label
+    themselves. Each round is one equi-join (edges x labels) + one
+    groupBy-min; rounds until fixpoint, O(component diameter) of them.
     The iteration is driver-CONTROLLED but executor-EXECUTED: the driver
-    sees only the converged-changes count per round, never data rows.
-    Each round's labels are persisted and localCheckpoint()ed — without
-    the lineage cut, round k's plan would embed k copies of the join
-    tree and Catalyst re-canonicalization would dominate past ~10 rounds
-    (the classic iterative-algorithm trap at scale).
-
-    Exactness: the edge set comes from simhash_pairs, pigeonhole-exact
-    for max_hamming < n_bands, and hash-min converges to the unique
-    minimum per component — so the whole operator is deterministic and
-    SQL-oracled (dup_clusters_sql walks the same closure with a
-    recursive CTE).
-    """
-    pairs = simhash_pairs(
-        docs, max_hamming=max_hamming, id_col=id_col,
-        text_col=text_col, n_bands=n_bands,
-    )
+    sees only a changed-count per round, never data rows. Each round's
+    labels are localCheckpoint()ed — without the lineage cut, round k's
+    plan would embed k copies of the join tree and Catalyst
+    re-canonicalization would dominate past ~10 rounds (the classic
+    iterative-algorithm trap at scale)."""
     # symmetric edge list: propagate labels BOTH directions so min labels
-    # cross the a<b canonicalization
-    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # cross any a<b canonicalization of the input pairs
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
-    # iterate ONLY over nodes that have an edge: a doc with no near-dup
-    # edge keeps label=id forever, so singletons (the overwhelming
-    # majority of a real corpus) never enter the loop's working set —
-    # they are re-attached after convergence with a left join.
+    # iterate ONLY over nodes that have an edge: a node with none keeps
+    # label=id forever, so singletons (the overwhelming majority of a
+    # real corpus) never enter the loop's working set — they are
+    # re-attached after convergence with a left join.
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
@@ -629,15 +612,53 @@ def dup_clusters(
         if not changed:
             break
     result = (
-        docs.select(F.col(id_col))
-        .join(labels.withColumnRenamed("id", id_col), id_col, "left")
+        nodes.select(F.col(id_col))
+        .join(
+            labels.withColumnRenamed("id", id_col).withColumnRenamed(
+                "label", "_cc_label"
+            ),
+            id_col,
+            "left",
+        )
         .select(
             F.col(id_col),
-            F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id"),
+            F.coalesce(F.col("_cc_label"), F.col(id_col)).alias("cluster_id"),
         )
     )
     edges.unpersist()
     return result
+
+
+def dup_clusters(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 4,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over the simhash near-dup graph: every doc
+    labeled with the MIN id reachable through near-dup edges (its cluster
+    id; singletons label themselves). The transitive closure is what a
+    production dedup actually keys on — A~B and B~C must land in ONE
+    cluster even when A~C itself is beyond the hamming radius — and it is
+    the one dedup semantics a single join cannot express.
+
+    Exactness: the edge set comes from simhash_pairs, pigeonhole-exact
+    for max_hamming < n_bands, and hash-min (connected_components)
+    converges to the unique minimum per component — so the whole operator
+    is deterministic and SQL-oracled (dup_clusters_sql walks the same
+    closure with a recursive CTE). Near-dup components are shallow (dup
+    clusters, not social graphs), so typically 2-4 rounds.
+    """
+    pairs = simhash_pairs(
+        docs, max_hamming=max_hamming, id_col=id_col,
+        text_col=text_col, n_bands=n_bands,
+    )
+    return connected_components(
+        docs.select(F.col(id_col)), pairs, id_col=id_col,
+        a_col="doc_a", b_col="doc_b", max_iters=max_iters,
+    )
 
 
 def dup_clusters_sql(

@@ -55,11 +55,10 @@ def image_caption_pairs(page_images: DataFrame, images: DataFrame) -> DataFrame:
     )
 
 
-def neardup_image_ids(
+def neardup_image_pairs(
     images: DataFrame, max_hamming: int = 3, n_bands: int = 4
 ) -> DataFrame:
-    """image_ids that are near-duplicates (phash hamming <= t) of a
-    lexicographically smaller id — the drop set for training dedup.
+    """All near-duplicate image pairs (img_a < img_b, phash hamming <= t).
     LSH band equi-join; the pigeonhole guarantee (any pair within hamming
     t < n_bands shares a band) keeps every parametrization exact. More,
     narrower bands ⇒ more candidate fan-out per bucket; fewer, wider bands
@@ -83,15 +82,46 @@ def neardup_image_ids(
             )
         ).alias("bb"),
     ).select("image_id", "phash", "bb.band", "bb.bv")
-    a = bands.select(F.col("image_id").alias("keep"), F.col("phash").alias("pa"), "band", "bv")
-    b = bands.select(F.col("image_id").alias("drop"), F.col("phash").alias("pb"), "band", "bv")
+    a = bands.select(F.col("image_id").alias("img_a"), F.col("phash").alias("pa"), "band", "bv")
+    b = bands.select(F.col("image_id").alias("img_b"), F.col("phash").alias("pb"), "band", "bv")
     return (
         a.join(b, ["band", "bv"])
-        .filter(F.col("keep") < F.col("drop"))
+        .filter(F.col("img_a") < F.col("img_b"))
         .filter(hamming_expr(F.col("pa"), F.col("pb")) <= max_hamming)
-        .select("drop")
+        .select("img_a", "img_b", hamming_expr(F.col("pa"), F.col("pb")).alias("hamming"))
+        .dropDuplicates(["img_a", "img_b"])
+    )
+
+
+def neardup_image_ids(
+    images: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """image_ids that are near-duplicates (phash hamming <= t) of a
+    lexicographically smaller id — the drop set for training dedup
+    (greedy keep-first; see image_dup_clusters for the transitive
+    clustering)."""
+    return (
+        neardup_image_pairs(images, max_hamming, n_bands)
+        .select(F.col("img_b").alias("image_id"))
         .distinct()
-        .withColumnRenamed("drop", "image_id")
+    )
+
+
+def image_dup_clusters(
+    images: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Transitive near-dup clusters over images: every image labeled with
+    the MIN image_id reachable through phash near-dup edges — the image
+    twin of dedupops.dup_clusters, same hash-min connected-components
+    core (pigeonhole-exact edges ⇒ deterministic, SQL-oracle-able)."""
+    from ..functions.dedupops import connected_components
+
+    return connected_components(
+        images.select("image_id"),
+        neardup_image_pairs(images, max_hamming, n_bands),
+        id_col="image_id",
+        a_col="img_a",
+        b_col="img_b",
     )
 
 
