@@ -145,6 +145,46 @@ class TestDedup:
         ddb_rows = set(ddb.sql(dedupops.dup_clusters_sql(max_hamming=3)).fetchall())
         assert got == ddb_rows
 
+    def test_connected_components_random_graphs(self, spark):
+        """Property check of the CC core itself: on seeded random graphs
+        (varying density, incl. chains that force multi-round propagation)
+        the distributed hash-min result equals a Python union-find, and is
+        invariant under input repartitioning."""
+        import random
+
+        rng = random.Random(7)
+        for trial in range(6):
+            n = rng.randint(5, 40)
+            m = rng.randint(0, n * 2)
+            edges = [
+                tuple(sorted(rng.sample(range(n), 2))) for _ in range(m)
+            ] + [(i, i + 1) for i in range(0, min(8, n - 1))]  # a chain
+            nodes_df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+            pairs_df = spark.createDataFrame(
+                edges or [(0, 0)], "src long, dst long"
+            ).filter(F.col("src") != F.col("dst")).repartition(trial % 4 + 1)
+            got = {
+                (r["id"], r["cluster_id"])
+                for r in dedupops.connected_components(
+                    nodes_df.repartition(trial % 3 + 1), pairs_df
+                ).collect()
+            }
+            parent = list(range(n))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                if a != b:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+            want = {(i, find(i)) for i in range(n)}
+            assert got == want, (trial, n, m)
+
     def test_minhash_candidates_are_true_pairs(self, docs):
         """LSH+verify output ⊆ exact output; recall reported not asserted
         (approximation contract)."""
