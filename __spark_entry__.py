@@ -585,6 +585,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cosine_dup_pairs"] = q_cosine_dup_pairs
 
+    def q_embedding_dup_clusters(spark, sf_dir):
+        """Third modality of the transitive-cluster family: connected
+        components over the EXACT cosine near-dup graph (block-gemm
+        pairs → hash-min CC). Same cluster semantics as dup_clusters
+        (text/simhash) and image_dup_clusters (phash); oracle walks the
+        closure with a recursive CTE over list_cosine_similarity edges."""
+        e = _emb(spark, sf_dir).withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        pairs = simsearch.cosine_dup_pairs(e, threshold=0.35)
+        return dedupops.connected_components(
+            e.select("vec_id"), pairs, id_col="vec_id",
+            a_col="id_a", b_col="id_b",
+        )
+
+    q["embedding_dup_clusters"] = q_embedding_dup_clusters
+
     def q_cosine_to_query(spark, sf_dir):
         e = _emb(spark, sf_dir).withColumn("embedding", F.col("embedding").cast("array<double>"))
         qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
@@ -1152,6 +1169,22 @@ GROUP BY 1, 2
              round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
       FROM d a JOIN d b ON a.vec_id < b.vec_id
       WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.35
+    """
+
+    o["embedding_dup_clusters"] = """
+      WITH RECURSIVE
+      d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+      edges AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst FROM d a JOIN d b
+          ON a.vec_id <> b.vec_id
+         AND round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.35
+      ),
+      walk(id, label) AS (
+        SELECT vec_id, vec_id FROM d
+        UNION
+        SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id
+      )
+      SELECT id AS vec_id, min(label) AS cluster_id FROM walk GROUP BY id
     """
 
     o["cosine_to_query"] = """
