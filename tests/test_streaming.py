@@ -298,6 +298,48 @@ class TestStreamingDocumentKeepSet:
         assert len(got) == 2 and {r["doc_id"] for r in got} == {1, 3}
 
 
+class TestStreamingCrawlDedupTTL:
+    def test_url_refetched_after_ttl_expiry(self, spark, tmp_path):
+        """dedup_ttl bounds the URL-seen state: a url re-dropped after its
+        state row ages out of the watermark is fetched AGAIN (the
+        reference's cache-expiry contract, cache.h:8). Same watermark fine
+        print as the document keep-set: eviction lands the batch after the
+        watermark passes expiry, and t=0 rows would be late-dropped."""
+        from web_scraper_spark.streaming.crawl_stream import streaming_crawl
+        from web_scraper_spark.synth import SynthWebConfig, page_url
+
+        web = SynthWebConfig(n_hosts=1, pages_per_host=4)
+        frontier = str(tmp_path / "frontier")
+        pages = str(tmp_path / "pages")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(frontier, exist_ok=True)
+        u = page_url(0, 0)
+
+        def drop(rows):
+            spark.createDataFrame(
+                rows, "url string, priority int, event_time double"
+            ).coalesce(1).write.mode("append").parquet(frontier)
+
+        def run():
+            streaming_crawl(
+                spark, frontier, pages, ckpt, web, dedup_ttl=10
+            ).awaitTermination()
+
+        drop([(u, 1, 100.0)])
+        run()
+        assert spark.read.parquet(pages).count() == 1
+        # same url 900s later: state row (expiry 110) still live when this
+        # batch plans → suppressed; watermark moves to 990 at batch end
+        drop([(u, 1, 1000.0)])
+        run()
+        assert spark.read.parquet(pages).count() == 1
+        # next batch: watermark 990 > 110 → state evicted → REFETCHED
+        drop([(u, 1, 1000.0)])
+        run()
+        got = spark.read.parquet(pages).collect()
+        assert len(got) == 2 and all(r["url"] == u for r in got)
+
+
 class TestStreamingRobotsAndFailures:
     def test_disallowed_never_fetched_failures_routed_resume_exact(self, spark, tmp_path):
         """Round-3 parity: the stream composes the SAME broadcast robots

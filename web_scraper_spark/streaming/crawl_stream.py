@@ -40,7 +40,12 @@ scales out, but it only scales; it never shrinks. For bounded-state
 deployments pass `dedup_ttl` (seconds): event_time becomes a watermark and
 dedup switches to dropDuplicatesWithinWatermark — urls older than the TTL
 can then be fetched again, the same contract as the reference's 24h cache
-expiry (cache.h:8) rather than its permanent visited set.
+expiry (cache.h:8) rather than its permanent visited set. Watermark fine
+print (pinned by the TTL tests in test_streaming): the initial watermark
+is epoch 0, so with dedup_ttl set a frontier row whose event_time <= the
+current watermark is discarded as LATE — feed real event times, not 0.0;
+a duplicate does NOT extend its url's expiry, and eviction takes effect
+the batch AFTER the watermark passes it.
 
 Scope note: cross-generation retry/backoff (the fetch_failures table)
 remains batch-side; the stream routes failures to a sink where a batch
