@@ -1147,21 +1147,14 @@ GROUP BY 1, 2
       WHERE image_id NOT IN (SELECT image_id FROM drops)
     """
 
-    o["image_dup_clusters"] = f"""
-      WITH RECURSIVE
-      p(image_id, phash) AS (VALUES {_image_phash_values(512, 42)}),
-      edges AS (
-        SELECT a.image_id AS src, b.image_id AS dst FROM p a JOIN p b
-          ON a.image_id <> b.image_id
-         AND bit_count(xor(a.phash, b.phash)) <= 3
-      ),
-      walk(id, label) AS (
-        SELECT image_id, image_id FROM p
-        UNION
-        SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id
-      )
-      SELECT id AS image_id, min(label) AS cluster_id FROM walk GROUP BY id
-    """
+    # same shared closure builder as dup_clusters_sql — the three cluster
+    # oracles (text/image/embedding) cannot diverge in closure shape
+    o["image_dup_clusters"] = dedupops.cc_closure_sql(
+        "n AS (SELECT image_id AS id, phash FROM (VALUES "
+        f"{_image_phash_values(512, 42)}) AS v(image_id, phash))",
+        "bit_count(xor(a.phash, b.phash)) <= 3",
+        "image_id",
+    )
 
     o["cosine_dup_pairs"] = """
       WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)
@@ -1171,21 +1164,12 @@ GROUP BY 1, 2
       WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.35
     """
 
-    o["embedding_dup_clusters"] = """
-      WITH RECURSIVE
-      d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
-      edges AS (
-        SELECT a.vec_id AS src, b.vec_id AS dst FROM d a JOIN d b
-          ON a.vec_id <> b.vec_id
-         AND round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.35
-      ),
-      walk(id, label) AS (
-        SELECT vec_id, vec_id FROM d
-        UNION
-        SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id
-      )
-      SELECT id AS vec_id, min(label) AS cluster_id FROM walk GROUP BY id
-    """
+    o["embedding_dup_clusters"] = dedupops.cc_closure_sql(
+        "n AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS embedding"
+        " FROM embeddings)",
+        "round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.35",
+        "vec_id",
+    )
 
     o["cosine_to_query"] = """
       WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),

@@ -553,6 +553,24 @@ WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
 # --------------------------------------------------------------------------
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release a localCheckpoint()'s cached blocks NOW.
+
+    DataFrame.unpersist() is a NO-OP for checkpointed frames (it uncaches
+    via the CacheManager, which only knows persist()/cache() plans; the
+    checkpoint caches its RDD directly — verified empirically). Without
+    this, every propagation round's label set stays cached until the
+    ContextCleaner GCs the orphaned RDD. Reaches the exact RDD through
+    the plan's LogicalRDD node; falls back to the ContextCleaner (the
+    status quo) if the internal API ever shifts. ONLY call once nothing
+    will read the frame again — a truncated-lineage frame cannot be
+    recomputed."""
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:
+        pass  # ContextCleaner will reclaim on GC — correct, just later
+
+
 def connected_components(
     nodes: DataFrame,
     pairs: DataFrame,
@@ -607,10 +625,26 @@ def connected_components(
         )
         new = new.localCheckpoint(eager=True)
         changed = new.agg(F.sum("chg")).collect()[0][0]
-        labels.unpersist()  # frees the previous round's checkpoint blocks
+        # the previous round's labels are never read again — release their
+        # checkpoint blocks immediately (plain unpersist() is a no-op on
+        # checkpointed frames, see _free_local_checkpoint)
+        _free_local_checkpoint(labels)
         labels = new.drop("chg")
         if not changed:
             break
+    else:
+        # a component with diameter > max_iters would otherwise return a
+        # plausible-looking SPLIT clustering with no signal — fail loud.
+        # (Near-dup graphs converge in 2-4 rounds; hitting this means the
+        # input is not the shallow dup graph this default is sized for.)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds; "
+            "raise max_iters for high-diameter graphs"
+        )
+    # the FINAL round's blocks stay cached for the lazy result (bounded:
+    # one (id, label) row per edge-touched node, MEMORY_AND_DISK, LRU-
+    # evictable); they are reclaimed by the ContextCleaner when the result
+    # goes out of scope.
     result = (
         nodes.select(F.col(id_col))
         .join(
@@ -661,24 +695,41 @@ def dup_clusters(
     )
 
 
-def dup_clusters_sql(
-    max_hamming: int = 3, table: str = "documents",
-    id_col: str = "doc_id", text_col: str = "text",
-) -> str:
-    """SQL ground truth for dup_clusters: a recursive CTE walks the same
-    near-dup closure and takes the min reachable id per doc."""
-    sh = simhash_sql(text_col)
+def cc_closure_sql(nodes_cte: str, edge_cond: str, id_col: str) -> str:
+    """Shared SQL ground truth for every connected_components wrapper: a
+    recursive CTE walks the closure of `edge_cond` (a predicate over
+    aliases a/b of the node CTE) and takes the min reachable id per node.
+    One builder so the text (simhash), image (phash) and embedding
+    (cosine) oracles can never diverge in closure shape.
+
+    nodes_cte: 'name AS (SELECT {id_col} AS id, ... FROM ...)' — any
+    extra columns the predicate needs ride along; the CTE must be named
+    `n`."""
     return f"""
 WITH RECURSIVE
-sh AS (SELECT {id_col} AS id, {sh} AS sh FROM {table}),
+{nodes_cte},
 edges AS (
-  SELECT a.id AS src, b.id AS dst FROM sh a JOIN sh b
-    ON a.id <> b.id AND bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+  SELECT a.id AS src, b.id AS dst FROM n a JOIN n b
+    ON a.id <> b.id AND ({edge_cond})
 ),
 walk(id, label) AS (
-  SELECT id, id FROM sh
+  SELECT id, id FROM n
   UNION
   SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id
 )
 SELECT id AS {id_col}, min(label) AS cluster_id FROM walk GROUP BY id
 """
+
+
+def dup_clusters_sql(
+    max_hamming: int = 3, table: str = "documents",
+    id_col: str = "doc_id", text_col: str = "text",
+) -> str:
+    """SQL ground truth for dup_clusters: the shared closure walk over
+    simhash near-dup edges."""
+    sh = simhash_sql(text_col)
+    return cc_closure_sql(
+        f"n AS (SELECT {id_col} AS id, {sh} AS sh FROM {table})",
+        f"bit_count(xor(a.sh, b.sh)) <= {max_hamming}",
+        id_col,
+    )

@@ -56,19 +56,28 @@ def image_caption_pairs(page_images: DataFrame, images: DataFrame) -> DataFrame:
 
 
 def neardup_image_pairs(
-    images: DataFrame, max_hamming: int = 3, n_bands: int = 4
+    images: DataFrame, max_hamming: int = 3, n_bands: int = 4,
+    dedup: bool = True,
 ) -> DataFrame:
     """All near-duplicate image pairs (img_a < img_b, phash hamming <= t).
     LSH band equi-join; the pigeonhole guarantee (any pair within hamming
     t < n_bands shares a band) keeps every parametrization exact. More,
     narrower bands ⇒ more candidate fan-out per bucket; fewer, wider bands
     ⇒ more buckets (64/n_bands bits each) and sub-quadratic growth at
-    10^9+ images — tune n_bands to corpus size, t stays the contract."""
+    10^9+ images — tune n_bands to corpus size, t stays the contract.
+
+    dedup=False skips the pair-level dropDuplicates (a pair surviving in
+    up to n_bands band copies): for consumers that re-aggregate anyway —
+    the drop-set's distinct(img_b), CC's groupBy-min — the duplicates are
+    absorbed by their own exchange, so the extra pair-keyed shuffle would
+    be pure cost."""
     assert max_hamming < n_bands, "pigeonhole guarantee needs n_bands > max_hamming"
     assert 64 % n_bands == 0, "n_bands must divide 64"
     # both band-join sides derive from this projection: persist it or
     # Catalyst re-executes the upstream (possibly image-synthesis/decode)
-    # subtree once per side
+    # subtree once per side. (Library-level persist, never unpersisted:
+    # the cache entry is plan-canonical, so repeated calls over the same
+    # input reuse ONE entry, MEMORY_AND_DISK + LRU bounds the cost.)
     ph = images.select("image_id", "phash").persist()
     bands = ph.select(
         "image_id",
@@ -84,13 +93,13 @@ def neardup_image_pairs(
     ).select("image_id", "phash", "bb.band", "bb.bv")
     a = bands.select(F.col("image_id").alias("img_a"), F.col("phash").alias("pa"), "band", "bv")
     b = bands.select(F.col("image_id").alias("img_b"), F.col("phash").alias("pb"), "band", "bv")
-    return (
+    out = (
         a.join(b, ["band", "bv"])
         .filter(F.col("img_a") < F.col("img_b"))
         .filter(hamming_expr(F.col("pa"), F.col("pb")) <= max_hamming)
         .select("img_a", "img_b", hamming_expr(F.col("pa"), F.col("pb")).alias("hamming"))
-        .dropDuplicates(["img_a", "img_b"])
     )
+    return out.dropDuplicates(["img_a", "img_b"]) if dedup else out
 
 
 def neardup_image_ids(
@@ -99,9 +108,10 @@ def neardup_image_ids(
     """image_ids that are near-duplicates (phash hamming <= t) of a
     lexicographically smaller id — the drop set for training dedup
     (greedy keep-first; see image_dup_clusters for the transitive
-    clustering)."""
+    clustering). dedup=False: the id-level distinct is the only exchange
+    this derivation needs."""
     return (
-        neardup_image_pairs(images, max_hamming, n_bands)
+        neardup_image_pairs(images, max_hamming, n_bands, dedup=False)
         .select(F.col("img_b").alias("image_id"))
         .distinct()
     )
@@ -116,6 +126,9 @@ def image_dup_clusters(
     core (pigeonhole-exact edges ⇒ deterministic, SQL-oracle-able)."""
     from ..functions.dedupops import connected_components
 
+    # default dedup=True: CC persists the edge list and re-joins it every
+    # round, so paying one pair-keyed exchange up front beats carrying up
+    # to n_bands copies of each edge through O(diameter) rounds
     return connected_components(
         images.select("image_id"),
         neardup_image_pairs(images, max_hamming, n_bands),

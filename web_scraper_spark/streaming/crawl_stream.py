@@ -128,7 +128,7 @@ def streaming_crawl(
     else:
         cand = (
             cand.withColumn("event_ts", F.timestamp_seconds(F.col("event_time")))
-            .withWatermark("event_ts", f"{int(dedup_ttl)} seconds")
+            .withWatermark("event_ts", f"{int(float(dedup_ttl) * 1000)} milliseconds")  # ms: int(ttl) would truncate 0.5 to a 0s watermark
             .dropDuplicatesWithinWatermark(["url_sha1"])
             .drop("event_ts")
         )

@@ -68,7 +68,7 @@ def dedup_documents_stream(
     else:
         kept = (
             fp.withColumn("event_ts", F.timestamp_seconds(F.col("event_time")))
-            .withWatermark("event_ts", f"{int(ttl)} seconds")
+            .withWatermark("event_ts", f"{int(float(ttl) * 1000)} milliseconds")  # ms: int(ttl) would truncate 0.5 to a 0s watermark
             .dropDuplicatesWithinWatermark(["fp"])
             .drop("event_ts")
         )
