@@ -109,6 +109,36 @@ class Catalog:
             return None
         return self.spark.read.parquet(*paths)
 
+    def read_incremental(
+        self, table: str, since: Snapshot, until: Snapshot | None = None
+    ) -> DataFrame | None:
+        """Rows added to `table` AFTER snapshot `since` (exclusive), up to
+        `until` (inclusive; default CURRENT) — the Iceberg incremental-scan
+        analog, the 'train on new data only' primitive: a pipeline that
+        processed snapshot S re-runs against read_incremental(t, S) and
+        touches ONLY the delta files, never the 10^10-row history.
+
+        Exact for append-only lineage (stage_append / stage_append_cow):
+        the manifest diff is precisely the appended files. Across a
+        REWRITE boundary (compact, stage, stage_cow on a rewritten shard)
+        the diff is conservative — rewritten files have new paths, so
+        their rows reappear in the increment (same caveat as Iceberg CDC
+        over rewrites); dedup downstream or snapshot before compacting.
+
+        None if nothing was added."""
+        until = until or self.current_snapshot()
+        if until is None or table not in until.tables:
+            return None
+        old = {f["path"] for f in since.tables.get(table, {}).get("files", [])}
+        paths = [
+            os.path.join(self.root, table, f["path"])
+            for f in until.tables[table]["files"]
+            if f["path"] not in old
+        ]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
     # ------------------------------------------------------------- stage
     def _write_version(self, table: str, df: DataFrame, partitions: int | None) -> list[dict]:
         """Write one immutable version dir; return its file-lineage list
