@@ -109,6 +109,34 @@ class TestIncrementalRead:
         assert {f"b{i}" for i in range(2)} <= got  # superset, never a miss
 
 
+class TestIncrementalReadOnCrawl:
+    def test_pages_increment_between_generations(self, spark, tmp_path):
+        """The primitive on real crawl output: read_incremental('pages')
+        between two generation snapshots is EXACTLY the pages that
+        generation fetched (the pages table is append-only — never
+        rewritten mid-crawl), so a per-generation training pipeline
+        touches only the new rows."""
+        from web_scraper_spark.config import CrawlConfig
+        from web_scraper_spark.crawl import resume_crawl, run_crawl
+        from web_scraper_spark.synth import SynthWebConfig, page_url
+
+        web = SynthWebConfig(n_hosts=2, pages_per_host=6)
+        seeds = spark.createDataFrame(
+            [(page_url(h, 0), 1) for h in range(2)], ["url", "priority"]
+        )
+        cfg = CrawlConfig()
+        cat = run_crawl(spark, str(tmp_path / "c"), seeds, cfg, web, max_generations=1)
+        s1 = cat.current_snapshot()
+        urls1 = {r["url"] for r in cat.read("pages").select("url").collect()}
+        resume_crawl(cat, cfg, web, max_generations=1)
+        urls2 = {r["url"] for r in cat.read("pages").select("url").collect()}
+        inc = {
+            r["url"]
+            for r in cat.read_incremental("pages", since=s1).select("url").collect()
+        }
+        assert inc == urls2 - urls1 and len(inc) > 0
+
+
 class TestTimeTravel:
     def test_read_old_snapshot(self, spark, cat):
         cat.stage("t", df_of(spark, 10))
