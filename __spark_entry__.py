@@ -503,6 +503,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_clean"] = q_corpus_clean
 
+    def q_stratified_sample(spark, sf_dir):
+        """Deterministic hash-stratified downsampling — the reproducible
+        corpus-balancing op (e.g. keep 50% of 'en', 10% of everything
+        else). Selection = md5-60 fingerprint mod 1000 < per-stratum rate:
+        no RNG, no seed drift — the same doc is kept on every rerun, any
+        partitioning, and any engine, so the op is exactly SQL-oracled
+        (sampleBy-style semantics without sampleBy's RNG)."""
+        d = _docs(spark, sf_dir)
+        scored = d.select(
+            "doc_id",
+            ta.lang_id_expr(F.col("text")).alias("lang_pred"),
+            F.pmod(ta.md5_60_expr(F.col("text")), F.lit(1000)).alias("bucket"),
+        )
+        rate = F.when(F.col("lang_pred") == "en", F.lit(500)).otherwise(F.lit(100))
+        return scored.filter(F.col("bucket") < rate).select(
+            "doc_id", "lang_pred", "bucket"
+        )
+
+    q["stratified_sample"] = q_stratified_sample
+
     def q_dup_clusters(spark, sf_dir):
         """Transitive dup clusters: connected components over the simhash
         near-dup graph by hash-min label propagation (driver-controlled,
@@ -1062,6 +1082,17 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_keep_set"] = dedupops.dedup_keep_ids_sql(max_hamming=3, table=_unioned)
 
     o["dup_clusters"] = dedupops.dup_clusters_sql(max_hamming=3)
+
+    o["stratified_sample"] = f"""
+      WITH s AS (
+        SELECT doc_id,
+               {ta.lang_id_sql('text')} AS lang_pred,
+               ({ta.md5_60_sql('text')}) % 1000 AS bucket
+        FROM documents
+      )
+      SELECT doc_id, lang_pred, bucket FROM s
+      WHERE bucket < CASE WHEN lang_pred = 'en' THEN 500 ELSE 100 END
+    """
 
     # the composite pipeline: score + filter the unioned corpus, run the
     # keep-set SQL over the filtered subquery, re-attach the scores
