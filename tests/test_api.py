@@ -209,7 +209,12 @@ class TestForceRescrape:
     def test_reseed_without_force_skips(self, spark, tmp_path_factory):
         web = SynthWebConfig(n_hosts=2, pages_per_host=5)
         root = str(tmp_path_factory.mktemp("force_a"))
-        cfg = CrawlConfig(max_pages=6, max_depth=1, horizon=6.0, num_shards=8)
+        # budget ABOVE the corpus: the crawl DRAINS (frontier empty), so the
+        # reseeded seeds are the only frontier rows and the pop gate's skip
+        # counting is what this test isolates. (A budget-stopped crawl now
+        # preserves its pending frontier and a same-budget resume is a
+        # no-op — see test_budget_stop_preserves_frontier_and_resumes.)
+        cfg = CrawlConfig(max_pages=50, max_depth=1, horizon=6.0, num_shards=8)
         cat = run_crawl(spark, root, _seeds_df(spark, web), cfg, web, max_generations=10)
         first_pages = cat.read("pages").count()
         skipped0 = cat.current_snapshot().metrics["urls_skipped"]
@@ -240,3 +245,36 @@ class TestForceRescrape:
         assert pages.count() > first_pages
         dup_urls = pages.groupBy("url").count().filter("count > 1").count()
         assert dup_urls > 0
+        # the SEEN table stays exactly-once per key even though force
+        # bypassed the pop gate (re-marking would duplicate bucket-pure
+        # rows forever and double-insert cuckoo fingerprints)
+        seen = cat.read("seen")
+        assert seen.count() == seen.select("url_sha1").distinct().count()
+
+    def test_budget_stop_preserves_frontier_and_resumes(self, spark, tmp_path_factory):
+        """Hitting max_pages must STOP, not destroy: the frontier survives
+        the budget-stop generation untouched (the simulator's termination
+        order — budget is checked before the next pop), a same-budget
+        resume is a no-op, and a raised-budget resume continues the crawl
+        from exactly where it stopped."""
+        from web_scraper_spark.crawl import resume_crawl
+
+        web = SynthWebConfig(n_hosts=3, pages_per_host=6)
+        root = str(tmp_path_factory.mktemp("budget"))
+        cfg = CrawlConfig(max_pages=4, max_depth=2, horizon=6.0, num_shards=8)
+        cat = run_crawl(spark, root, _seeds_df(spark, web), cfg, web, max_generations=20)
+        m1 = cat.current_snapshot().metrics
+        assert m1["urls_processed"] == 4
+        frontier_before = {
+            r["url_canon"] for r in cat.read("frontier").select("url_canon").collect()
+        }
+        assert frontier_before, "budget stop should leave pending work"
+        # same budget: no-op resume, frontier byte-identical
+        resume_crawl(cat, cfg, web, max_generations=3)
+        assert {
+            r["url_canon"] for r in cat.read("frontier").select("url_canon").collect()
+        } == frontier_before
+        # raised budget: continues where it stopped
+        cfg2 = CrawlConfig(max_pages=9, max_depth=2, horizon=6.0, num_shards=8)
+        resume_crawl(cat, cfg2, web, max_generations=20)
+        assert cat.current_snapshot().metrics["urls_processed"] == 9

@@ -74,6 +74,21 @@ class TestAppend:
         assert all(f["bytes"] > 0 for f in entry["files"])
 
 
+class TestCommitCarryForward:
+    def test_unstaged_tables_survive_commits_and_gc(self, spark, cat):
+        """A commit never implicitly drops a table: an auxiliary table a
+        user staged into the catalog carries through later commits that
+        never mention it, and expire_snapshots keeps its files live."""
+        cat.stage("aux", df_of(spark, 7, "x"))
+        cat.commit(generation=0, t0=0.0)
+        for gen in range(1, 8):
+            cat.stage("t", df_of(spark, gen, "t"))
+            cat.commit(generation=gen, t0=float(gen))
+        assert cat.read("aux").count() == 7
+        cat.expire_snapshots(keep_last=2)
+        assert cat.read("aux").count() == 7  # files not GC'd
+
+
 class TestIncrementalRead:
     def test_incremental_is_exactly_the_appended_delta(self, spark, cat):
         cat.stage("t", df_of(spark, 5, "a"))

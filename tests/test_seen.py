@@ -84,3 +84,51 @@ def test_delete_supports_force_rescrape(spark, urls):
     got = {r["url"] for r in seen_ops.filter_unseen(urls, seen2, sk2).collect()}
     assert {r["url"] for r in victim.collect()} <= got
     assert len(got) == 400 - 40
+
+
+def test_autoscale_rebuilds_overflowing_shard(spark, urls):
+    """A shard whose key count outgrows its bloom is rebuilt at >=2x size
+    from the authoritative rows; untouched shards carry byte-identically.
+    Without the rescale the bloom saturates silently (fpp -> 1) and the
+    membership accelerator degrades to reading every touched shard."""
+    cap = 64  # Bloom.for_capacity floor — ~200 keys/shard below overflow it
+    urls = with_url_identity(
+        spark.createDataFrame(
+            [(f"http://o{i % 5}.test/q/{i}",) for i in range(1600)], ["url"]
+        ),
+        num_shards=NUM_SHARDS,
+    ).cache()
+    first = urls.limit(120).select("url_sha1", "shard")
+    seen0 = seen_ops.append_seen(None, first, NUM_SHARDS)
+    sk0 = seen_ops.build_sketches(seen0, capacity=cap).cache()
+    bytes0 = {r["shard"]: (bytes(r["bloom"]), int(r["n"])) for r in sk0.collect()}
+
+    rest = (
+        urls.select("url_sha1", "shard")
+        .join(first.select("url_sha1"), "url_sha1", "left_anti")
+    )
+    # confine the delta to ONE shard so the others must carry byte-identically
+    target = rest.groupBy("shard").count().orderBy(F.desc("count")).first()["shard"]
+    delta = rest.filter(F.col("shard") == target)
+    n_delta = delta.count()
+    assert n_delta + bytes0.get(target, (b"", 0))[1] > cap  # really overflows
+
+    sk1 = seen_ops.update_sketches_autoscale(
+        spark, sk0, delta, seen0, NUM_SHARDS, capacity=cap
+    ).cache()
+    rows1 = {r["shard"]: (bytes(r["bloom"]), int(r["n"])) for r in sk1.collect()}
+    # overflowing shard: rebuilt bigger, exact n
+    assert len(rows1[target][0]) > len(bytes0[target][0])
+    assert rows1[target][1] == bytes0[target][1] + n_delta
+    # every other shard: byte-identical carry
+    for sh, (b0, n0) in bytes0.items():
+        if sh != target:
+            assert rows1[sh] == (b0, n0), sh
+    # and the accelerated gate still equals the pure anti-join
+    seen1 = seen0.unionByName(delta)
+    got = seen_ops.filter_unseen(urls, seen1, sk1)
+    want = urls.join(seen1.select("url_sha1"), "url_sha1", "left_anti")
+    assert {r["url_sha1"] for r in got.collect()} == {
+        r["url_sha1"] for r in want.collect()
+    }
+    sk0.unpersist(); sk1.unpersist()

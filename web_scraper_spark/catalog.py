@@ -213,9 +213,14 @@ class Catalog:
 
         version = f"v{uuid.uuid4().hex[:12]}"
         path = os.path.join(self.root, table, version)
-        df.withColumn("_b", F.col(bucket_col)).write.partitionBy("_b").mode(
-            "error"
-        ).parquet(path)
+        # cluster rows by bucket BEFORE partitionBy: an arbitrarily-
+        # partitioned input (e.g. hash-partitioned by url from an upstream
+        # groupBy) would otherwise emit one file per (task, bucket) pair —
+        # tasks x touched-buckets small files per commit; clustered, each
+        # bucket lands in ~one task and writes ~one file
+        df.repartition(F.col(bucket_col)).withColumn(
+            "_b", F.col(bucket_col)
+        ).write.partitionBy("_b").mode("error").parquet(path)
         import pyarrow.parquet as pq
 
         buckets: dict[str, list[dict]] = {}
@@ -317,9 +322,7 @@ class Catalog:
 
         snap = snapshot or self.current_snapshot()
         parent = snap.tables.get(table) if snap and table in snap.tables else None
-        new_buckets = self._write_version_cow(
-            table, delta.repartition(F.col(bucket_col)), bucket_col
-        )
+        new_buckets = self._write_version_cow(table, delta, bucket_col)  # clusters by bucket itself
         new_files = [f for b in sorted(new_buckets, key=str) for f in new_buckets[b]]
         if parent is not None and "buckets" not in parent:
             files = list(parent["files"]) + new_files
@@ -360,15 +363,22 @@ class Catalog:
 
     # ------------------------------------------------------------- commit
     def commit(self, generation: int, t0: float, metrics: dict | None = None) -> Snapshot:
-        """Atomically publish all staged tables as the next snapshot."""
+        """Atomically publish the next snapshot: staged tables replace
+        their parent entries; every OTHER parent table carries forward
+        untouched (Iceberg semantics — a commit never implicitly drops a
+        table, so an auxiliary table a user staged into the same catalog
+        survives engine generations and is never garbage-collected out by
+        expire_snapshots)."""
         parent = self.current_snapshot()
         sid = (parent.snapshot_id + 1) if parent else 0
+        tables = dict(parent.tables) if parent else {}
+        tables.update(self._staged)
         snap = Snapshot(
             snapshot_id=sid,
             parent_id=parent.snapshot_id if parent else None,
             generation=generation,
             t0=t0,
-            tables=dict(self._staged),
+            tables=tables,
             metrics=metrics or {},
         )
         name = f"s{sid:06d}.json"

@@ -128,23 +128,7 @@ def init_crawl(
         "priority", "depth", "parent_url", "discovered_at",
     )
     # ZADD upsert on the seed list itself (duplicate seeds keep min priority)
-    frontier = (
-        frontier.groupBy("url_canon")
-        .agg(
-            F.min("priority").alias("priority"),
-            F.min("url").alias("url"),
-            F.min("url_sha1").alias("url_sha1"),
-            F.min("host").alias("host"),
-            F.min("shard").alias("shard"),
-            F.min("depth").alias("depth"),
-            F.min("parent_url").alias("parent_url"),
-            F.min("discovered_at").alias("discovered_at"),
-        )
-        .select(
-            "url", "url_canon", "url_sha1", "host", "shard",
-            "priority", "depth", "parent_url", "discovered_at",
-        )
-    )
+    frontier = upsert_frontier(frontier)
     # bucket-pure COW write from the start: generation 1 can already carry
     # untouched shards at file level
     cat.stage_cow("frontier", frontier, "shard", None)
@@ -197,6 +181,15 @@ def run_generation(
             f"web_scraper_spark.crawl.migrate_catalog(cat) once to upgrade"
         )
 
+    # budget exhausted: stop BEFORE the pop-gate, leaving the frontier and
+    # every other table untouched (the simulator's exact termination order:
+    # budget is checked before the next pop would count more skips) — a
+    # later resume with a raised max_pages continues where this stopped.
+    # Staging an empty frontier here (the old behavior) destroyed all
+    # pending work on the budget-stop generation.
+    if cfg.max_pages and total_processed >= cfg.max_pages:
+        return GenerationResult(g, 0, 0, 0, 0, True)
+
     frontier = cat.read("frontier")
     if frontier is None or not frontier.head(1):
         return GenerationResult(g, 0, 0, 0, 0, True)
@@ -226,7 +219,9 @@ def run_generation(
         n_frontier = frontier.count()
         n_candidates = candidates.count()
     n_skipped = n_frontier - n_candidates
-    if n_candidates == 0 or (cfg.max_pages and total_processed >= cfg.max_pages):
+    if n_candidates == 0:
+        # drained: every remaining frontier row was already seen — popping
+        # them all (empty frontier) IS the correct final state
         cat.stage("frontier", candidates.limit(0))
         for t in ("seen", "seen_sketch", "robots", "host_state", "pages", "links",
                   "page_images", "fetch_failures"):
@@ -235,6 +230,8 @@ def run_generation(
         m["urls_skipped"] = m.get("urls_skipped", 0) + n_skipped
         m["schema_v"] = SCHEMA_V
         cat.commit(generation=g + 1, t0=t0, metrics=m)
+        frontier.unpersist()
+        candidates.unpersist()
         return GenerationResult(g, 0, n_skipped, 0, 0, True)
 
     # -------- 1b. T7 retry cooldown: urls in failure backoff stay IN the
@@ -408,7 +405,12 @@ def run_generation(
         "meta",
         "sentiment",
         "language",
-        F.split(F.coalesce(F.col("keywords"), F.lit("")), ",").alias("topics"),
+        # empty/null keywords → empty ARRAY, not [''] (split of '' yields a
+        # single empty-string element — a phantom topic on keyword-less pages)
+        F.when(
+            F.length(F.coalesce(F.col("keywords"), F.lit(""))) > 0,
+            F.split(F.col("keywords"), ","),
+        ).otherwise(F.array().cast("array<string>")).alias("topics"),
     )
 
     # -------- 6. discovered links → canonicalize → gate → upsert
@@ -469,21 +471,7 @@ def run_generation(
         "left_semi",
     )
 
-    def _upsert(rows: DataFrame) -> DataFrame:
-        return (
-            rows.groupBy("url_canon")
-            .agg(
-                F.min("priority").alias("priority"),
-                F.min("url").alias("url"),
-                F.min("url_sha1").alias("url_sha1"),
-                F.min("host").alias("host"),
-                F.min("shard").alias("shard"),
-                F.min("depth").alias("depth"),
-                F.min("parent_url").alias("parent_url"),
-                F.min("discovered_at").alias("discovered_at"),
-            )
-            .select(*schemas_frontier_cols())
-        )
+    _upsert = upsert_frontier  # the shared ZADD-min rule
 
     if cat.has_bucket_lineage("frontier", snap):
         # shards with seen-skip drops: cheap per-shard count diff (both
@@ -539,8 +527,22 @@ def run_generation(
         .join(failed.select("url_sha1"), "url_sha1", "left_anti")
     )
     seen_next_delta = batch_keys.dropDuplicates(["url_sha1"])
-    sketch_next = seen_ops.update_sketches(
-        spark, sketch_df, seen_next_delta, cfg.num_shards,
+    if cfg.force_rescrape and seen is not None:
+        # force bypasses the pop-gate, so the batch can contain urls that
+        # are ALREADY seen — appending them again would duplicate keys in
+        # the bucket-pure seen table forever (compaction unions without a
+        # key dedup) and double-insert cuckoo fingerprints. Keep the seen
+        # table exactly-once per key.
+        seen_next_delta = seen_next_delta.join(
+            seen.select("url_sha1"), "url_sha1", "left_anti"
+        )
+    # autoscale: a shard whose key count outgrows its bloom is rebuilt at
+    # >=2x from the authoritative seen rows (bucket-pure files => the
+    # rebuild reads only that shard); without this the bloom saturates
+    # silently at ~capacity keys/shard and the membership accelerator
+    # degrades to reading every touched shard's files
+    sketch_next = seen_ops.update_sketches_autoscale(
+        spark, sketch_df, seen_next_delta, seen, cfg.num_shards,
         capacity=seen_ops.DEFAULT_SHARD_CAPACITY, fpp=cfg.bloom_fpp,
     )
 
@@ -644,13 +646,15 @@ def run_generation(
         "bloom_fpp": cfg.bloom_fpp,
         "schema_v": SCHEMA_V,
     }
-    cat.commit(generation=g + 1, t0=t_next, metrics=metrics)
+    snap_next = cat.commit(generation=g + 1, t0=t_next, metrics=metrics)
 
-    fr_next = cat.read("frontier")
-    n_frontier_next = fr_next.count() if fr_next is not None else 0
-    for df in (frontier, candidates, batch, robots_all, fetched_all, fetched,
-               failed, fail_rows, analyzed, decided, links_new,
-               new_frontier_rows, *persists):
+    # exact frontier size for free from the just-committed manifest (row
+    # counts come from parquet footers at write time) — a cat.read(...)
+    # .count() here would re-scan the whole frontier every generation
+    n_frontier_next = int(snap_next.tables.get("frontier", {}).get("rows", 0))
+    for df in (frontier, candidates, batch, robots_all, robots_batch,
+               fetched_all, fetched, failed, fail_rows, analyzed, decided,
+               links_new, new_frontier_rows, *persists):
         df.unpersist()
     done = n_frontier_next == 0 or (
         cfg.max_pages and metrics["urls_processed"] >= cfg.max_pages
@@ -663,6 +667,30 @@ def schemas_frontier_cols() -> list[str]:
         "url", "url_canon", "url_sha1", "host", "shard",
         "priority", "depth", "parent_url", "discovered_at",
     ]
+
+
+def upsert_frontier(rows: DataFrame) -> DataFrame:
+    """ZADD-min upsert on url_canon — the single frontier-merge rule
+    (shared by init/reseed/generation): duplicate discoveries collapse to
+    per-column mins. min(priority) and min(depth) are the simulator-pinned
+    contract (oracle_sim.py:101-104 — a shallower rediscovery re-opens
+    expansion, the C's ZADD-min analog); url/url_sha1/host/shard are
+    functions of url_canon, so min is identity; parent_url/discovered_at
+    take min purely for determinism (first-by-ordering lineage)."""
+    return (
+        rows.groupBy("url_canon")
+        .agg(
+            F.min("priority").alias("priority"),
+            F.min("url").alias("url"),
+            F.min("url_sha1").alias("url_sha1"),
+            F.min("host").alias("host"),
+            F.min("shard").alias("shard"),
+            F.min("depth").alias("depth"),
+            F.min("parent_url").alias("parent_url"),
+            F.min("discovered_at").alias("discovered_at"),
+        )
+        .select(*schemas_frontier_cols())
+    )
 
 
 def migrate_catalog(cat: Catalog) -> Catalog:
@@ -747,20 +775,7 @@ def reseed_crawl(cat: Catalog, seeds: DataFrame, cfg: CrawlConfig) -> Catalog:
     seed_rows = _with_identity(seed_rows, cfg.num_shards).select(*schemas_frontier_cols())
     old = cat.read("frontier")
     merged = seed_rows if old is None else old.unionByName(seed_rows)
-    merged = (
-        merged.groupBy("url_canon")
-        .agg(
-            F.min("priority").alias("priority"),
-            F.min("url").alias("url"),
-            F.min("url_sha1").alias("url_sha1"),
-            F.min("host").alias("host"),
-            F.min("shard").alias("shard"),
-            F.min("depth").alias("depth"),
-            F.min("parent_url").alias("parent_url"),
-            F.min("discovered_at").alias("discovered_at"),
-        )
-        .select(*schemas_frontier_cols())
-    )
+    merged = upsert_frontier(merged)
     cat.stage_cow("frontier", merged, "shard", None)
     for t in ("seen", "seen_sketch", "robots", "host_state", "pages", "links",
               "page_images", "fetch_failures"):

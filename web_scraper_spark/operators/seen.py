@@ -246,7 +246,9 @@ def membership(
         return urls.select(F.col(url_col).alias("url_sha1")).withColumn(
             "is_seen", F.lit(False)
         )
-    s = seen.select("url_sha1").withColumn("is_seen", F.lit(True))
+    # distinct: one output row per probed url even if a (legacy) seen
+    # table carries duplicate keys — a plain left join would multiply
+    s = seen.select("url_sha1").distinct().withColumn("is_seen", F.lit(True))
     return (
         urls.select(F.col(url_col).alias("url_sha1"))
         .join(s, "url_sha1", "left")
@@ -349,6 +351,71 @@ def update_sketches(
         .cogroup(sketch_df.groupBy("shard"))
         .applyInPandas(fold, schema=schemas.SEEN_SKETCH)
     )
+
+
+def update_sketches_autoscale(
+    spark: SparkSession,
+    sketch_df: DataFrame | None,
+    new_keys: DataFrame,
+    seen: DataFrame | None,
+    num_shards: int,
+    capacity: int = DEFAULT_SHARD_CAPACITY,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """update_sketches + per-shard bloom RESCALE when a shard outgrows
+    its bloom.
+
+    A fixed-capacity bloom that overflows degrades silently: fpp → 1,
+    every candidate becomes "maybe", and the membership check reads every
+    touched shard's files — the accelerator stops accelerating with no
+    error. This wrapper detects overflow per shard and rebuilds ONLY the
+    overflowing shards from the authoritative seen rows at ≥2× size
+    (build_sketches), folding everything else incrementally.
+
+    Detection is metadata-only and distributed: designed capacity is
+    recovered JVM-side from length(bloom) (16-byte header + n_bits/8
+    bytes; n_design = n_bits·ln²2/ln(1/fpp)) joined against the delta's
+    per-shard add counts — the driver collects just the overflowing shard
+    IDS (a usually-empty int list, the same class of control metadata as
+    the loop's row counts), never sketch bytes. The rebuild reads
+    O(overflowing shards) of seen: files are bucket-pure, so the shard
+    filter prunes to those shards' files.
+    """
+    import math
+
+    design_factor = (math.log(2) ** 2) / math.log(1.0 / fpp)
+    adds = new_keys.groupBy("shard").agg(F.count(F.lit(1)).alias("_adds"))
+    if sketch_df is not None:
+        meta = sketch_df.select(
+            "shard", "n",
+            ((F.length("bloom") - F.lit(16)) * 8).cast("double").alias("_bits"),
+        )
+        adds = adds.join(meta, "shard", "left")
+    else:
+        adds = adds.withColumn("n", F.lit(None).cast("long")).withColumn(
+            "_bits", F.lit(None).cast("double")
+        )
+    default_bits = float(Bloom.for_capacity(capacity, fpp).n_bits)
+    projected = F.coalesce(F.col("n"), F.lit(0)) + F.col("_adds")
+    design_n = F.coalesce(F.col("_bits"), F.lit(default_bits)) * F.lit(design_factor)
+    overflow = [
+        int(r["shard"]) for r in adds.filter(projected > design_n).select("shard").collect()
+    ]
+    if not overflow:
+        return update_sketches(spark, sketch_df, new_keys, num_shards, capacity, fpp)
+
+    keep_delta = new_keys.filter(~F.col("shard").isin(overflow))
+    keep_sketch = (
+        sketch_df.filter(~F.col("shard").isin(overflow)) if sketch_df is not None else None
+    )
+    incr = update_sketches(spark, keep_sketch, keep_delta, num_shards, capacity, fpp)
+    full = new_keys.select("url_sha1", "shard").filter(F.col("shard").isin(overflow))
+    if seen is not None:
+        full = full.unionByName(
+            seen.select("url_sha1", "shard").filter(F.col("shard").isin(overflow))
+        )
+    rebuilt = build_sketches(full.dropDuplicates(["url_sha1"]), capacity, fpp)
+    return incr.unionByName(rebuilt)
 
 
 def build_sketches(
