@@ -340,6 +340,90 @@ class TestStreamingCrawlDedupTTL:
         assert len(got) == 2 and all(r["url"] == u for r in got)
 
 
+class TestStreamingRetryAndFeedback:
+    def test_failed_url_retryable_via_attempt_key(self, spark, tmp_path):
+        """The (url_sha1, attempt) dedup key makes transport failures
+        retryable: re-enqueueing a failed url with attempt=1 (its failure-
+        row count) passes the state store and reaches the transport again,
+        while re-enqueueing an already-SUCCESSFUL url at attempt=0 stays
+        suppressed — the batch 'failures are never marked seen' contract."""
+        from web_scraper_spark.streaming.crawl_stream import streaming_crawl
+        from web_scraper_spark.synth import SynthWebConfig, page_url
+
+        web = SynthWebConfig(n_hosts=2, pages_per_host=6, fail_rate=0.4)
+        frontier = str(tmp_path / "frontier")
+        pages = str(tmp_path / "pages")
+        fails = str(tmp_path / "fails")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(frontier, exist_ok=True)
+
+        def drop(rows):
+            spark.createDataFrame(
+                rows, "url string, priority int, event_time double, attempt int"
+            ).coalesce(1).write.mode("append").parquet(frontier)
+
+        def run():
+            streaming_crawl(
+                spark, frontier, pages, ckpt, web, failures_dir=fails
+            ).awaitTermination()
+
+        drop([(page_url(h, p), 1, 0.0, 0) for h in range(2) for p in range(6)])
+        run()
+        failed = [r["url"] for r in spark.read.parquet(fails).collect()]
+        ok = [r["url"] for r in spark.read.parquet(pages).collect()]
+        assert failed and ok, "need both outcomes (fail_rate seeds both)"
+        # sweeper protocol: attempt = the url's failure-row count
+        drop([(failed[0], 1, 1.0, 1)])  # retry of a failed url
+        drop([(ok[0], 1, 1.0, 0)])      # duplicate of a SUCCESSFUL url
+        run()
+        fail_counts = {
+            r["url"]: r["n"]
+            for r in spark.read.parquet(fails).groupBy("url").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        # the retry reached the transport again (deterministic synth fails
+        # it again -> a second failure row); the successful dup stayed out
+        assert fail_counts[failed[0]] == 2
+        assert sorted(r["url"] for r in spark.read.parquet(pages).collect()) == sorted(ok)
+
+    def test_aimd_feedback_stream_raises_delay(self, spark, tmp_path):
+        """The gate's AIMD fold is reachable e2e: a feedback stream of
+        error-status rows for a host doubles its delay, and the host's
+        NEXT admitted urls are slotted at the widened spacing."""
+        from web_scraper_spark.streaming.crawl_stream import streaming_crawl
+        from web_scraper_spark.synth import SynthWebConfig, page_url
+
+        web = SynthWebConfig(n_hosts=1, pages_per_host=8)
+        frontier = str(tmp_path / "frontier")
+        pages = str(tmp_path / "pages")
+        fb_dir = str(tmp_path / "fb")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(frontier, exist_ok=True)
+        host = "h0.example.test"
+
+        FB = "host string, url_canon string, priority int, event_time double, status int, response_ms int"
+        # 3 consecutive errors -> AIMD doubles current_delay (T2 constants)
+        spark.createDataFrame(
+            [(host, f"http://{host}/err/{i}", 1, float(i), 500, 10) for i in range(3)],
+            FB,
+        ).coalesce(1).write.mode("append").parquet(fb_dir)
+        feedback = spark.readStream.schema(FB).parquet(fb_dir)
+
+        spark.createDataFrame(
+            [(page_url(0, p), 1, 10.0, 0) for p in range(4)],
+            "url string, priority int, event_time double, attempt int",
+        ).coalesce(1).write.mode("append").parquet(frontier)
+        streaming_crawl(
+            spark, frontier, pages, ckpt, web, feedback=feedback
+        ).awaitTermination()
+        ts = sorted(r["fetch_time"] for r in spark.read.parquet(pages).collect())
+        assert len(ts) == 4
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        # delay doubled from MIN_DELAY (1.0) to 2.0 before slotting
+        assert all(g >= 1.99 for g in gaps), gaps
+
+
 class TestStreamingRobotsAndFailures:
     def test_disallowed_never_fetched_failures_routed_resume_exact(self, spark, tmp_path):
         """Round-3 parity: the stream composes the SAME broadcast robots

@@ -20,9 +20,22 @@ from pyspark.sql import functions as F
 
 from .catalog import Catalog
 from .functions import textops
-from .functions.urlops import host_expr, sha1_expr
+from .functions.urlops import canonicalize, sha1_expr
 from .sources import fetch as fetch_src
 from .synth import SynthWebConfig
+
+
+def _canon(spark: SparkSession, url: str) -> str:
+    """Canonicalize a user-supplied URL exactly like the crawl does (P1) —
+    the catalog stores CANONICAL urls, so every CLI-analog lookup must key
+    on the canonical form or a fragment/case/default-port variant misses
+    the cache (and clear_url's sha1 would never match seen.url_sha1)."""
+    row = (
+        spark.createDataFrame([(url,)], ["url"])
+        .select(canonicalize(F.lit("http://seed.invalid/"), F.col("url")).alias("c"))
+        .head(1)
+    )
+    return row[0]["c"] if row and row[0]["c"] is not None else url
 
 
 def analyze_url(spark: SparkSession, cat: Catalog | None, url: str, web: SynthWebConfig) -> DataFrame:
@@ -31,6 +44,7 @@ def analyze_url(spark: SparkSession, cat: Catalog | None, url: str, web: SynthWe
     Returns one row (url, title, description, keywords, meta, sentiment,
     language, cached:boolean) — meta = every name/property+content pair
     (P9), like the pages table."""
+    url = _canon(spark, url)
     cols = ["url", "title", "description", "keywords", "meta", "sentiment", "language"]
     if cat is not None:
         pages = cat.read("pages")
@@ -180,6 +194,7 @@ def clear_url(cat: Catalog, url: str, num_shards: int) -> dict:
     """Invalidate one URL: stage seen/pages without it (caller commits).
     Returns the staged manifest entries."""
     spark = cat.spark
+    url = _canon(spark, url)
     key = spark.createDataFrame([(url,)], ["url_canon"]).select(
         sha1_expr(F.col("url_canon")).alias("url_sha1")
     )
@@ -194,9 +209,9 @@ def clear_url(cat: Catalog, url: str, num_shards: int) -> dict:
     pages = cat.read("pages")
     if pages is not None:
         out["pages"] = cat.stage("pages", pages.filter(F.col("url") != url))
-    # Catalog.commit publishes ONLY staged tables — every other table must
-    # be carried forward explicitly or the commit would silently drop
-    # frontier/robots/host_state/sketches/links from the new snapshot
+    # Catalog.commit now carries unstaged parent tables forward by itself;
+    # the explicit stage_keep loop stays as documentation of intent (and
+    # pins exactly the parent snapshot's versions)
     snap = cat.current_snapshot()
     if snap is not None:
         for t in snap.tables:

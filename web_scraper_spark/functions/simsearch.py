@@ -217,7 +217,10 @@ def sign_sig_pairs(
     mask = (1 << width) - 1
     # both self-join sides derive from this frame: persist so the
     # sig_bits×dim dot-product kernel runs once over the corpus (same
-    # pattern as simhash_pairs; 2 longs/vector cached)
+    # pattern as simhash_pairs; 2 longs/vector cached). Library-level
+    # persist, never unpersisted: the entry is plan-canonical so repeated
+    # calls over the same input share ONE cache slot, MEMORY_AND_DISK +
+    # LRU bounds the cost; loop-heavy callers can spark.catalog.clearCache()
     s = corpus.select(
         F.col(id_col).alias("vec_id"),
         sign_sig_expr(F.col(vec_col), sig_bits).alias("sig"),

@@ -297,7 +297,14 @@ def decide_allowed(
     (host_rule_arrays), that one-row-per-host table broadcasts, and the
     decision evaluates as `F.exists(patterns, p -> match(path, p))` inside
     the broadcast-join projection — the frontier is never shuffled and no
-    aggregation runs over frontier rows (plan-audited in test_plans)."""
+    aggregation runs over frontier rows (plan-audited in test_plans).
+
+    CONTRACT: `robots` must be pre-pruned to the batch's hosts before the
+    call — the crawl loop passes robots_batch (a left_semi slice bounded
+    by hosts-in-batch, crawl.py step 3), which is what keeps the forced
+    broadcast bounded. The FULL rules table grows with every host ever
+    fetched (the same unbounded host-keyed growth scheduler.py refuses to
+    broadcast) and would OOM the broadcast at frontier scale."""
     if robots is None:
         return frontier.withColumn("allowed", F.lit(True))
     rules = host_rule_arrays(robots)

@@ -104,10 +104,35 @@ def fetch_robots(hosts: DataFrame, cfg: SynthWebConfig) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _read_capped(resp, timeout_s: float) -> bytes | None:
+    """Read ≤MAX_RESPONSE_SIZE under a HARD wall-clock deadline.
+
+    urllib's `timeout` is the PER-SOCKET-OPERATION timeout, not a total
+    cap: a tarpit trickling one byte per (timeout−ε) never trips it and
+    would pin a ThreadPoolExecutor worker for hours. CURLOPT_TIMEOUT in
+    the reference caps the WHOLE transfer — mirror that with a deadline-
+    checked chunked read; None = deadline exceeded (transport failure)."""
+    import time
+
+    deadline = time.perf_counter() + timeout_s
+    chunks: list[bytes] = []
+    total = 0
+    while total <= MAX_RESPONSE_SIZE:
+        if time.perf_counter() > deadline:
+            return None
+        chunk = resp.read(min(65536, MAX_RESPONSE_SIZE + 1 - total))
+        if not chunk:
+            break
+        chunks.append(chunk)
+        total += len(chunk)
+    return b"".join(chunks)[:MAX_RESPONSE_SIZE]
+
+
 def _http_get(url: str, timeout_s: float, user_agent: str):
     """One GET with fetch_url.c semantics: follow redirects (urllib
-    default ≙ CURLOPT_FOLLOWLOCATION), hard timeout (CURLOPT_TIMEOUT),
-    UA header. HTTP 4xx/5xx return (code, body) — the C reads the status
+    default ≙ CURLOPT_FOLLOWLOCATION), hard total timeout (CURLOPT_TIMEOUT
+    — enforced by the deadline-checked body read, see _read_capped), UA
+    header. HTTP 4xx/5xx return (code, body) — the C reads the status
     via CURLINFO_RESPONSE_CODE and keeps whatever body arrived; transport
     errors (DNS, refused, timeout) return (None, None) — the CURLE_!OK
     path the engine maps to a fetch failure (T7)."""
@@ -117,10 +142,14 @@ def _http_get(url: str, timeout_s: float, user_agent: str):
     req = urllib.request.Request(url, headers={"User-Agent": user_agent})
     try:
         with urllib.request.urlopen(req, timeout=timeout_s) as resp:
-            body = resp.read(MAX_RESPONSE_SIZE + 1)[:MAX_RESPONSE_SIZE]
+            body = _read_capped(resp, timeout_s)
+            if body is None:
+                return None, None, None
             return resp.status, body, resp.headers.get("Content-Type")
     except urllib.error.HTTPError as e:
-        body = e.read(MAX_RESPONSE_SIZE + 1)[:MAX_RESPONSE_SIZE]
+        body = _read_capped(e, timeout_s)
+        if body is None:
+            return None, None, None
         return e.code, body, e.headers.get("Content-Type")
     except Exception:
         return None, None, None

@@ -14,10 +14,13 @@ batch operators plus checkpointed state recovery:
                                           url_processor.c:107-118 — same as
                                           batch, where disallowed urls are
                                           never marked seen)
-      → dropDuplicates(url_sha1)        — the URL-seen set as the streaming
-                                          dedup state store (S3/S4 analog;
-                                          exactly-once per url across
-                                          micro-batches AND restarts)
+      → dropDuplicates(url_sha1,        — the URL-seen set as the streaming
+                        attempt)          dedup state store (S3/S4 analog;
+                                          exactly-once per (url, attempt)
+                                          across micro-batches AND
+                                          restarts; the attempt key is what
+                                          lets the failure sweeper re-admit
+                                          a transport-failed url)
       → politeness_gate                 — applyInPandasWithState per host
                                           (T1/T2; AIMD state persisted in
                                           the state store)
@@ -49,7 +52,9 @@ the batch AFTER the watermark passes it.
 
 Scope note: cross-generation retry/backoff (the fetch_failures table)
 remains batch-side; the stream routes failures to a sink where a batch
-sweeper can re-enqueue them.
+sweeper re-enqueues them with attempt = that url's failure-row count —
+the new (url_sha1, attempt) dedup key admits the retry that a bare
+url_sha1 key would suppress forever.
 """
 
 from __future__ import annotations
@@ -70,7 +75,17 @@ from ..sources import fetch as fetch_src
 from ..synth import SynthWebConfig
 from .politeness import politeness_gate
 
-FRONTIER_STREAM_SCHEMA = "url string, priority int, event_time double"
+# `attempt` is part of the DEDUP KEY, which is what makes transport
+# failures retryable in a stream at all: the url's first pass writes
+# state row (sha1, 0); if the fetch transport-fails, the failures-sink
+# sweeper re-enqueues it with attempt=1 (= the count of its failure rows
+# in failures_dir) and the new (sha1, 1) key passes the state store that
+# would otherwise suppress the url forever — the batch engine's
+# "failures are never marked seen" contract (crawl.py step 4) re-expressed
+# against an append-only state store. Old 3-column frontier files read
+# back with attempt=null → coalesced to 0. Successful urls never get
+# attempt>0 rows under this protocol (only the failure sweeper increments).
+FRONTIER_STREAM_SCHEMA = "url string, priority int, event_time double, attempt int"
 
 
 def streaming_crawl(
@@ -82,6 +97,7 @@ def streaming_crawl(
     robots: DataFrame | None = None,
     failures_dir: str | None = None,
     dedup_ttl: float | None = None,
+    feedback: DataFrame | None = None,
 ):
     """Build and start the streaming crawl query (availableNow trigger:
     drains everything currently in frontier_dir, then stops — call again
@@ -93,6 +109,14 @@ def streaming_crawl(
     failures_dir: optional sink for transport-failure rows (content null).
     dedup_ttl: optional seconds before the per-url dedup state may be
     forgotten (see module docstring).
+    feedback: optional STREAM of COMPLETED-fetch rows (host, url_canon,
+    priority, event_time, status, response_ms) unioned into the politeness
+    gate as its AIMD input — e.g. a readStream over a prior run's pages
+    sink (must be a streaming frame: Spark forbids stream∪batch unions).
+    Within ONE query the fetch results cannot loop back into their own
+    gate (a stream cannot consume its own sink), so without feedback the
+    gate slots at each host's persisted delay and AIMD only advances when
+    a caller wires results back in — the generation-style restart loop.
 
     Returns the StreamingQuery; caller awaits termination."""
     src = (
@@ -106,6 +130,7 @@ def streaming_crawl(
         .filter(F.col("url_canon").isNotNull())
         .withColumn("url_sha1", sha1_expr(F.col("url_canon")))
         .withColumn("host", host_expr(F.col("url_canon")))
+        .withColumn("attempt", F.coalesce(F.col("attempt"), F.lit(0)))
     )
     # robots BEFORE the dedup state store — mirrors the batch engine, where
     # disallowed urls are anti-joined out of batch_keys and never marked
@@ -124,12 +149,12 @@ def streaming_crawl(
             .drop("allowed", "norm_path")
         )
     if dedup_ttl is None:
-        cand = cand.dropDuplicates(["url_sha1"])
+        cand = cand.dropDuplicates(["url_sha1", "attempt"])
     else:
         cand = (
             cand.withColumn("event_ts", F.timestamp_seconds(F.col("event_time")))
             .withWatermark("event_ts", f"{int(float(dedup_ttl) * 1000)} milliseconds")  # ms: int(ttl) would truncate 0.5 to a 0s watermark
-            .dropDuplicatesWithinWatermark(["url_sha1"])
+            .dropDuplicatesWithinWatermark(["url_sha1", "attempt"])
             .drop("event_ts")
         )
     cand = cand.select(
@@ -140,6 +165,14 @@ def streaming_crawl(
         F.lit(None).cast("int").alias("status"),
         F.lit(None).cast("int").alias("response_ms"),
     )
+    if feedback is not None:
+        cand = cand.unionByName(
+            feedback.select(
+                "host", "url_canon", "priority", "event_time",
+                F.col("status").cast("int").alias("status"),
+                F.col("response_ms").cast("int").alias("response_ms"),
+            )
+        )
     admitted = politeness_gate(cand)
     fetched = fetch_src.fetch_pages(
         admitted.select("host", "url_canon", "priority", "fetch_time"), web

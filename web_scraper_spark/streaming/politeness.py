@@ -68,36 +68,45 @@ def _gate_fn(
     else:
         min_delay, delay, last_fetch, errors = MIN_DELAY, MIN_DELAY, 0.0, 0
 
-    out = []
-    for pdf in pdfs:
-        # 1. fold AIMD over completed fetches (rows with a status), in
-        #    event_time order — rate_limiter_update semantics
-        done = pdf[pdf["status"].notna()].sort_values("event_time")
-        for st, ms in zip(done["status"], done["response_ms"]):
-            delay, errors = aimd_update_py(
-                delay, min_delay, errors, int(st), float(ms or 0) / 1000.0
-            )
-        # 2. slot new candidates (rows without status) in ZSET order
-        cand = pdf[pdf["status"].isna()].sort_values(["priority", "url_canon"])
-        if len(cand):
-            t0 = float(cand["event_time"].min())
-            base = max(last_fetch + delay, t0)
-            times = [base + i * delay for i in range(len(cand))]
-            last_fetch = times[-1]
-            out.append(
-                pd.DataFrame(
-                    {
-                        "host": host,
-                        "url_canon": cand["url_canon"].to_numpy(),
-                        "priority": cand["priority"].to_numpy(),
-                        "fetch_time": times,
-                        "current_delay": delay,
-                    }
-                )
-            )
+    # Arrow delivers a LARGE group as multiple chunks (split at
+    # maxRecordsPerBatch): concatenate BEFORE sorting, or the slot order
+    # would hold only within each chunk — a priority-1 url landing in
+    # chunk 2 would be slotted after every chunk-1 url, violating the
+    # ZSET pop contract (and AIMD folds would interleave with slotting).
+    frames = list(pdfs)
+    pdf = (
+        frames[0]
+        if len(frames) == 1
+        else pd.concat(frames, ignore_index=True)
+    )
+    # 1. fold AIMD over completed fetches (rows with a status), in
+    #    event_time order — rate_limiter_update semantics
+    done = pdf[pdf["status"].notna()].sort_values("event_time")
+    for st, ms in zip(done["status"], done["response_ms"]):
+        delay, errors = aimd_update_py(
+            delay, min_delay, errors, int(st), float(ms or 0) / 1000.0
+        )
+    # 2. slot new candidates (rows without status) in ZSET order
+    cand = pdf[pdf["status"].isna()].sort_values(["priority", "url_canon"])
+    times: list[float] = []
+    if len(cand):
+        t0 = float(cand["event_time"].min())
+        base = max(last_fetch + delay, t0)
+        times = [base + i * delay for i in range(len(cand))]
+        last_fetch = times[-1]
+    # update BEFORE yielding: the state write must not depend on the
+    # consumer exhausting the generator
     state.update((min_delay, delay, last_fetch, errors))
-    for o in out:
-        yield o
+    if times:
+        yield pd.DataFrame(
+            {
+                "host": host,
+                "url_canon": cand["url_canon"].to_numpy(),
+                "priority": cand["priority"].to_numpy(),
+                "fetch_time": times,
+                "current_delay": delay,
+            }
+        )
 
 
 def politeness_gate(candidates: DataFrame) -> DataFrame:
