@@ -35,7 +35,8 @@ MESSY = """
 
 def test_parse_document_messy():
     d = htmlparse.parse_document(MESSY)
-    assert d["title"] == "  Messy &amp; Proud "  # title text NOT attr-unescaped (text node handled elsewhere)
+    # entities resolved in the text node, as libxml2 does (strict ';' form)
+    assert d["title"] == "  Messy & Proud "
     assert d["description"] == "rev order desc"
     assert d["keywords"] == "a,b , c"
     assert ("og:title", "OG Title") in d["meta"]
@@ -158,3 +159,16 @@ class TestUnterminatedScriptStyle:
 
         html = '<body><a href="/k">k</a><style>.x { content: "<a href=/f>"; }'
         assert parse_document(html)["links"] == ["/k"]
+
+
+def test_strict_entities_and_custom_elements():
+    """libxml2 parity: entity refs decode ONLY with the terminating ';'
+    (semicolon-less '&gt' in a query string must survive verbatim), and a
+    hyphenated custom element (<a-button>) is NOT the <a> tag."""
+    d = htmlparse.parse_document(
+        '<a-button href="/fake">t</a-button>'
+        '<a href="/x?a=1&gt=2&amp;b=3">y</a>'
+        '<base-layout href="/nope"><title>A &#38; B &copy</title>'
+    )
+    assert d["links"] == ["/x?a=1&gt=2&b=3"]
+    assert d["title"] == "A & B &copy"

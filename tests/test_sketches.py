@@ -83,3 +83,25 @@ def test_bloom_property_no_false_negatives(ints):
     b = Bloom.for_capacity(len(keys), 0.01)
     b.add_many(keys)
     assert b.contains_many(keys).all()
+
+
+def test_cuckoo_failed_insert_rolls_back():
+    """MAX_KICKS exhaustion must leave the table byte-identical: without
+    the kick-chain rollback the final homeless victim — a previously
+    ACKNOWLEDGED key — was silently evicted (a false negative, violating
+    the no-false-negatives contract)."""
+    c = Cuckoo.for_capacity(16)
+    inserted, i = [], 0
+    while True:
+        k = hashlib.sha1(str(i).encode()).hexdigest()
+        i += 1
+        if c.add_many([k]) == 1:
+            inserted.append(k)
+        else:
+            break
+        assert i < 10000, "table never filled"
+    before = c.table.copy()
+    assert c.contains_many(np.array(inserted, dtype=object)).all()
+    # a second failing insert is also a clean no-op
+    assert c.add_many([hashlib.sha1(str(i).encode()).hexdigest()]) == 0
+    assert (c.table == before).all()

@@ -30,6 +30,17 @@ from html import unescape
 
 import pandas as pd
 
+# libxml2 (the reference parser) resolves only entity references with the
+# TERMINATING ';' — Python's html.unescape applies HTML5 text rules and
+# decodes semicolon-less named refs too, which corrupts URLs ('?a=1&gt=2'
+# must stay '&gt=2', not become '>=2'). Decode strictly-terminated refs
+# only, via unescape on each full '&...;' match.
+_ENTITY_RE = re.compile(r"&(?:#\d+|#[xX][0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);")
+
+
+def unescape_strict(s: str) -> str:
+    return _ENTITY_RE.sub(lambda m: unescape(m.group(0)), s)
+
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 # a missing closing tag extends the body to EOF (libxml2-recover treats the
 # rest of a truncated document as script/style — exactly what the 1 MB
@@ -51,7 +62,8 @@ _TAG_RES: dict[str, re.Pattern] = {}
 def _tag_re(name: str) -> re.Pattern:
     pat = _TAG_RES.get(name)
     if pat is None:
-        pat = re.compile(rf"<{name}\b([^>]*)>", re.IGNORECASE | re.DOTALL)
+        # (?=[\s/>]) not \b: \b fires at "-", so <a-button> would parse as <a>
+        pat = re.compile(rf"<{name}(?=[\s/>])([^>]*)>", re.IGNORECASE | re.DOTALL)
         _TAG_RES[name] = pat
     return pat
 
@@ -76,7 +88,7 @@ def parse_attrs(raw: str) -> dict[str, str | None]:
         else:
             out[name] = None
             continue
-        out[name] = unescape(val)
+        out[name] = unescape_strict(val)
     return out
 
 
@@ -107,7 +119,8 @@ def parse_document(html: str | None) -> dict:
     cleaned = _clean(html)
 
     tm = _TITLE_RE.search(cleaned)
-    title = tm.group(1) if tm else None
+    # entity-resolve the text node, as libxml2 does (strict form)
+    title = unescape_strict(tm.group(1)) if tm else None
 
     meta: list[tuple[str, str]] = []
     description = keywords = None

@@ -97,8 +97,11 @@ def stopword_ratio_expr(text: Column) -> Column:
     """Stopword substring hits / token count (0 when no tokens).
 
     Substring (not token) matching — deliberately the same semantics as the
-    reference's sentiment counter (content_analyzer.c:215-257)."""
-    lower = F.lower(text)
+    reference's sentiment counter (content_analyzer.c:215-257). The text is
+    space-PADDED first (like _lang_score_expr) so a stopword at the very
+    start/end of the document still counts — unpadded, ' the ' misses a
+    leading 'the' and short texts under-score."""
+    lower = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
     hits = None
     for w in STOPWORDS:
         c = _count_sub_expr(lower, f" {w} ")
@@ -108,7 +111,7 @@ def stopword_ratio_expr(text: Column) -> Column:
 
 
 def stopword_ratio_sql(text: str) -> str:
-    lower = f"lower({text})"
+    lower = f"(' ' || lower({text}) || ' ')"
     hits = " + ".join(_count_sub_sql(lower, f" {w} ") for w in STOPWORDS)
     return (
         f"CASE WHEN {token_count_sql(text)} = 0 THEN 0.0 "

@@ -49,15 +49,24 @@ NEGATIVE_WORDS = [
     "sad", "angry", "failure", "poor", "disaster",
 ]
 
-_SCRIPT_STYLE_RE = re.compile(r"<(script|style)\b.*?</\1>", re.IGNORECASE | re.DOTALL)
+# reuse htmlparse's kernel, NOT a local copy: htmlparse extends an
+# unterminated <script>/<style> to EOF (the 1 MB-truncation case) and a
+# weaker duplicate here would leak JS source into the sentiment text
+_SCRIPT_STYLE_RE = htmlparse._SCRIPT_STYLE_RE
 _TAG_RE = re.compile(r"<[^>]+>")
 
 
 def _as_text(content: pd.Series) -> pd.Series:
-    """binary or string content column → python str Series."""
-    if len(content) and isinstance(content.iloc[0], (bytes, bytearray)):
-        return content.map(lambda b: b.decode("utf-8", "replace") if b is not None else None)
-    return content
+    """binary or string content column → python str Series.
+
+    Decodes PER ELEMENT: sniffing only the first element breaks on a
+    batch ordered [None, b'...', ...] — the bytes rows would reach
+    pandas .str ops undecoded and raise."""
+    return content.map(
+        lambda b: b.decode("utf-8", "replace")
+        if isinstance(b, (bytes, bytearray))
+        else b
+    )
 
 
 def extract_title_series(html: pd.Series) -> pd.Series:

@@ -37,18 +37,56 @@ def has_pushed_filters(df: DataFrame, fragment: str | None = None) -> bool:
     return any(fragment in x for x in m)
 
 
+def _balanced(s: str, start: int, open_ch: str, close_ch: str) -> str:
+    """Substring inside the bracket pair opening at s[start] (balanced)."""
+    depth = 0
+    for i in range(start, len(s)):
+        if s[i] == open_ch:
+            depth += 1
+        elif s[i] == close_ch:
+            depth -= 1
+            if depth == 0:
+                return s[start + 1 : i]
+    return s[start + 1 :]
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on sep at bracket depth 0 only (nested <>/() kept intact)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
 def read_schema_columns(df: DataFrame) -> list[list[str]]:
-    """Column lists each parquet scan actually reads (pruning check)."""
+    """TOP-LEVEL column lists each parquet scan actually reads (pruning
+    check). Balanced-bracket parsing: a naive [^>]* capture truncates at
+    the first '>' inside a nested type (array<struct<...>>) and a flat
+    comma split would report struct FIELDS as top-level columns."""
     plan = physical_plan(df)
     out = []
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+    for m in re.finditer(r"ReadSchema: struct", plan):
+        body = _balanced(plan, m.end(), "<", ">")
+        cols = [c.split(":")[0].strip() for c in _split_top(body) if c.strip()]
         out.append(cols)
     return out
 
 
 def count_op(df: DataFrame, op: str) -> int:
-    return physical_plan(df).count(op)
+    """Count plan NODES named `op` — formatted plans print each node twice
+    (tree line + '(n) Op' detail header), so a raw substring count would
+    double every operator; count only the detail headers."""
+    return len(re.findall(rf"^\(\d+\) {re.escape(op)}", physical_plan(df), re.MULTILINE))
 
 
 def has_cartesian(df: DataFrame) -> bool:
@@ -65,8 +103,20 @@ def hash_exchanges(df: DataFrame) -> list[str]:
     Lets tests assert exactly WHICH keys get shuffled (e.g. the robots
     decision may shuffle the tiny rules table by host but never the
     frontier by its row columns)."""
-    # formatted mode prints exchange specs as `Arguments: hashpartitioning(...)`
-    return re.findall(r"hashpartitioning\(([^)]*?), \d+\)", physical_plan(df))
+    # formatted mode prints exchange specs as `Arguments: hashpartitioning(...)`.
+    # Balanced-paren capture: keys can be full expressions with nested
+    # parens (pmod(...), coalesce(...)) that [^)]* would truncate, silently
+    # dropping those exchanges from the audit.
+    plan = physical_plan(df)
+    out = []
+    for m in re.finditer(r"hashpartitioning", plan):
+        args = _balanced(plan, m.end(), "(", ")")
+        # strip the trailing ", <numPartitions>"
+        parts = _split_top(args)
+        if parts and parts[-1].strip().isdigit():
+            parts = parts[:-1]
+        out.append(",".join(parts).strip())
+    return out
 
 
 def single_partition_exchanges(df: DataFrame) -> int:

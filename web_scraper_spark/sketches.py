@@ -154,13 +154,21 @@ class Cuckoo:
                 row[empty[0]] = fp
                 self.count += 1
                 return True
-        # kick loop (deterministic: slot chosen from a seeded LCG)
+        # kick loop (deterministic: slot chosen from a seeded LCG). The
+        # displacement chain is recorded so a MAX_KICKS failure can be
+        # ROLLED BACK: without the rollback the final homeless victim — a
+        # previously ACKNOWLEDGED key — would be silently evicted, a false
+        # negative ('seen url reads unseen') that violates the module
+        # contract; with it, failure leaves the table byte-identical and
+        # only the NEW key is rejected (caller falls back to exact join).
         b = b1
         state = (rng_state ^ fp) & 0xFFFFFFFF
         cur = fp
+        chain: list[tuple[int, int]] = []
         for _ in range(self.MAX_KICKS):
             state = (state * 1103515245 + 12345) & 0xFFFFFFFF
             slot = state % self.SLOTS
+            chain.append((b, slot))
             cur, self.table[b][slot] = int(self.table[b][slot]), cur
             b = b ^ int(self._alt_offset(np.array([cur], dtype=np.uint16))[0])
             row = self.table[b]
@@ -169,6 +177,9 @@ class Cuckoo:
                 row[empty[0]] = cur
                 self.count += 1
                 return True
+        # undo the chain in reverse (the same swap restores each slot)
+        for rb, rslot in reversed(chain):
+            cur, self.table[rb][rslot] = int(self.table[rb][rslot]), cur
         return False  # table full — caller falls back to exact join only
 
     def add_many(self, keys) -> int:
