@@ -30,6 +30,10 @@ from pyspark.sql import functions as F
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Bench-only: tmpfs shuffle scratch (see session.get_spark) — keeps bench
+# numbers free of host-disk contention; library consumers don't inherit it.
+os.environ.setdefault("WSS_SHM_LOCAL_DIR", "1")
+
 FRONTIER_URLS = int(os.environ.get("WSS_BENCH_FRONTIER", "2000000"))
 SEEN_URLS = int(os.environ.get("WSS_BENCH_SEEN", "1000000"))
 
@@ -246,6 +250,11 @@ def main():
         spread[name] = [round(ts[0], 3), round(ts[-1], 3)]
     total = round(sum(timings.values()), 3)
     urls_per_sec = round((FRONTIER_URLS) / timings["crawl_generation"], 1)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full record first (spread/row_counts are diagnostics for humans), then
+    # a COMPACT line LAST so a tail-capture of bounded size always ends with
+    # a parseable summary (round-3 verdict item 3: BENCH_r03 `parsed` was
+    # null because the single line outgrew the driver's tail buffer).
     print(
         json.dumps(
             {
@@ -256,11 +265,26 @@ def main():
                 "queries": timings,
                 "spread": spread,
                 "runs": RUNS,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
                 "urls_per_sec": urls_per_sec,
                 "frontier_urls": FRONTIER_URLS,
                 "cpus": CPUS,
                 "row_counts": counts,
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite time, sum of per-query medians over "
+                f"{RUNS} runs (crawl generation + dedup + pipeline ops)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "runs": RUNS,
+                "sf": sf_val,
+                "urls_per_sec": urls_per_sec,
+                "cpus": CPUS,
             }
         )
     )

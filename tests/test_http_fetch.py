@@ -110,3 +110,38 @@ def test_http_extraction_composes(spark, server):
         .collect()
     )
     assert got[0]["title"] == "Page /p/7"
+
+
+def test_analyze_url_http_transport(spark, server, tmp_path):
+    """analyze_url honors cfg.transport="http" (r3 verdict item 4): the
+    `-a <url>` analog fetches the REAL page like the reference's analyze
+    path (scraper.c:244-287 → fetch_url), while the cache read-through
+    stays transport-independent."""
+    from web_scraper_spark import api
+    from web_scraper_spark.catalog import Catalog
+    from web_scraper_spark.config import CrawlConfig
+    from web_scraper_spark.synth import SynthWebConfig
+
+    web = SynthWebConfig(seed=7)
+    cfg = CrawlConfig(transport="http", request_timeout=2)
+
+    # miss path over the wire: the localhost server's real title comes back
+    row = api.analyze_url(spark, None, f"{server}/p/42", web, cfg=cfg).collect()[0]
+    assert row["title"] == "Page /p/42"
+    assert row["cached"] is False
+
+    # cache read-through unchanged: a pages hit short-circuits the fetch
+    # (point the URL at a dead port — a real fetch attempt would fail)
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    dead = "http://127.0.0.1:1/cached"
+    pages = spark.createDataFrame(
+        [(dead, "Cached Title", "d", ["k"], [], 0.5, "en")],
+        "url string, title string, description string, keywords array<string>, "
+        "meta array<struct<name:string,content:string>>, sentiment double, "
+        "language string",
+    )
+    cat.stage("pages", pages)
+    cat.commit(generation=1, t0=0.0)
+    hit = api.analyze_url(spark, cat, dead, web, cfg=cfg).collect()[0]
+    assert hit["title"] == "Cached Title"
+    assert hit["cached"] is True

@@ -185,6 +185,62 @@ class TestDedup:
             want = {(i, find(i)) for i in range(n)}
             assert got == want, (trial, n, m)
 
+    def test_cc_checkpoint_blocks_freed(self, spark):
+        """Pin _free_local_checkpoint on the RUNNING Spark version (r3
+        ADVICE): each propagation round's checkpoint blocks must actually
+        be released — a Spark upgrade that moves the Catalyst internals
+        would silently fall back to leak-until-GC (and log once)."""
+        from web_scraper_spark.functions.dedupops import (
+            _FREE_FALLBACK_LOGGED,
+            connected_components,
+            unpersist_op_caches,
+        )
+
+        sc = spark.sparkContext
+        n = 65  # chain of 65 nodes: hash-min needs many rounds
+        nodes_df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        pairs_df = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+        )
+        before = len(sc._jsc.sc().getRDDStorageInfo())
+        out = connected_components(nodes_df, pairs_df, max_iters=80).collect()
+        assert {r["cluster_id"] for r in out} == {0}
+        after = len(sc._jsc.sc().getRDDStorageInfo())
+        # every intermediate round freed: only the final labels checkpoint
+        # + the registered edges cache may remain (rounds run ~O(n) here,
+        # so a leak would show up as dozens of lingering RDDs)
+        assert after - before <= 3, (before, after)
+        from web_scraper_spark.functions import dedupops as _d
+
+        assert not _d._FREE_FALLBACK_LOGGED, "block free fell back to GC"
+        unpersist_op_caches()
+
+    def test_cc_reliable_checkpoint_mode(self, spark, tmp_path):
+        """checkpoint_mode='reliable' (cluster shape: recomputable lineage
+        cuts) produces the same clustering; without a checkpoint dir it
+        fails loud."""
+        from web_scraper_spark.functions.dedupops import connected_components
+
+        nodes_df = spark.createDataFrame([(i,) for i in range(8)], "id long")
+        pairs_df = spark.createDataFrame(
+            [(0, 1), (1, 2), (4, 5)], "src long, dst long"
+        )
+        sc = spark.sparkContext
+        if sc.getCheckpointDir() is None:
+            with pytest.raises(ValueError, match="setCheckpointDir"):
+                connected_components(
+                    nodes_df, pairs_df, checkpoint_mode="reliable"
+                )
+        sc.setCheckpointDir(str(tmp_path / "ckpt"))
+        got = {
+            (r["id"], r["cluster_id"])
+            for r in connected_components(
+                nodes_df, pairs_df, checkpoint_mode="reliable"
+            ).collect()
+        }
+        want = {(0, 0), (1, 0), (2, 0), (3, 3), (4, 4), (5, 4), (6, 6), (7, 7)}
+        assert got == want
+
     def test_minhash_candidates_are_true_pairs(self, docs):
         """LSH+verify output ⊆ exact output; recall reported not asserted
         (approximation contract)."""

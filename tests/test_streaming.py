@@ -424,6 +424,80 @@ class TestStreamingRetryAndFeedback:
         assert all(g >= 1.99 for g in gaps), gaps
 
 
+    def test_aimd_self_feedback_two_query_restart_loop(self, spark, tmp_path):
+        """The CLOSED feedback loop, no caller improvisation (r3 verdict
+        item 9): pages sink → pages_feedback_stream → gate, run twice
+        against one checkpoint. Run 1 fetches three 404 urls on one host;
+        run 2's availableNow listing picks those completed rows up as
+        feedback, folds 3 consecutive errors (→ delay 1.0 * ERROR_PENALTY
+        = 2.0) into the RESTORED host state, then slots run 2's fresh urls
+        at the widened spacing."""
+        from web_scraper_spark.config import ERROR_PENALTY, MIN_DELAY
+        from web_scraper_spark.streaming.crawl_stream import (
+            pages_feedback_stream,
+            streaming_crawl,
+        )
+        from web_scraper_spark.synth import SynthWebConfig, page_url
+
+        web = SynthWebConfig(n_hosts=1, pages_per_host=8)
+        frontier = str(tmp_path / "frontier")
+        pages = str(tmp_path / "pages")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(frontier, exist_ok=True)
+        os.makedirs(pages, exist_ok=True)
+        host = "h0.example.test"
+
+        def drop(rows):
+            spark.createDataFrame(
+                rows, "url string, priority int, event_time double, attempt int"
+            ).coalesce(1).write.mode("append").parquet(frontier)
+
+        def run():
+            streaming_crawl(
+                spark, frontier, pages, ckpt, web,
+                feedback=pages_feedback_stream(spark, pages),
+            ).awaitTermination()
+
+        # run 1: three unknown paths -> deterministic 404s (bodies present,
+        # so they land in the pages sink with their error status)
+        drop([(f"http://{host}/missing/{i}", 1, 100.0, 0) for i in range(3)])
+        run()
+        got1 = spark.read.parquet(pages).collect()
+        assert sorted(r["status"] for r in got1) == [404, 404, 404]
+        ts1 = sorted(r["fetch_time"] for r in got1)
+        # run-1 slots at the default delay (no feedback had been written)
+        assert all(abs(b - a - MIN_DELAY) < 1e-6 for a, b in zip(ts1, ts1[1:]))
+
+        # run 2: fresh urls; restart folds run 1's 404s first
+        drop([(page_url(0, p), 1, 200.0, 0) for p in range(3)])
+        run()
+        got2 = [r for r in spark.read.parquet(pages).collect() if r["status"] == 200]
+        assert len(got2) == 3
+        ts2 = sorted(r["fetch_time"] for r in got2)
+        want = MIN_DELAY * ERROR_PENALTY
+        gaps = [b - a for a, b in zip(ts2, ts2[1:])]
+        assert all(abs(g - want) < 1e-6 for g in gaps), gaps
+
+        # run 3: the loop keeps going — run 2's three successes now fold
+        # back (FAST/SLOW factors per their real response times); expected
+        # delay re-derived with the same pure kernel the gate uses
+        from web_scraper_spark.operators.scheduler import aimd_update_py
+
+        delay, errors = want, 0
+        for r in sorted(got2, key=lambda r: r["fetch_time"]):
+            delay, errors = aimd_update_py(
+                delay, MIN_DELAY, errors, int(r["status"]),
+                float(r["response_ms"] or 0) / 1000.0,
+            )
+        drop([(page_url(0, p), 1, 300.0, 0) for p in range(3, 6)])
+        run()
+        got3 = [r for r in spark.read.parquet(pages).collect()
+                if r["fetch_time"] >= 300.0]
+        ts3 = sorted(r["fetch_time"] for r in got3)
+        gaps3 = [b - a for a, b in zip(ts3, ts3[1:])]
+        assert all(abs(g - delay) < 1e-6 for g in gaps3), (gaps3, delay)
+
+
 class TestStreamingRobotsAndFailures:
     def test_disallowed_never_fetched_failures_routed_resume_exact(self, spark, tmp_path):
         """Round-3 parity: the stream composes the SAME broadcast robots

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from .catalog import Catalog
 from .functions import textops
+from .functions.dedupops import register_op_cache
 from .functions.urlops import canonicalize, sha1_expr
 from .sources import fetch as fetch_src
 from .synth import SynthWebConfig
@@ -38,12 +39,25 @@ def _canon(spark: SparkSession, url: str) -> str:
     return row[0]["c"] if row and row[0]["c"] is not None else url
 
 
-def analyze_url(spark: SparkSession, cat: Catalog | None, url: str, web: SynthWebConfig) -> DataFrame:
+def analyze_url(
+    spark: SparkSession,
+    cat: Catalog | None,
+    url: str,
+    web: SynthWebConfig,
+    cfg=None,
+) -> DataFrame:
     """Single-URL analysis with cache read-through.
 
     Returns one row (url, title, description, keywords, meta, sentiment,
     language, cached:boolean) — meta = every name/property+content pair
-    (P9), like the pages table."""
+    (P9), like the pages table.
+
+    ``cfg`` (a CrawlConfig) selects the transport exactly like
+    run_generation: with ``cfg.transport == "http"`` the miss path fetches
+    the REAL page over urllib (the reference's analyze path fetches for
+    real: scraper.c:244-287 → fetch_url, fetch_url.c:9-31); default stays
+    the deterministic synth corpus. The cache read-through is
+    transport-independent."""
     url = _canon(spark, url)
     cols = ["url", "title", "description", "keywords", "meta", "sentiment", "language"]
     if cat is not None:
@@ -53,7 +67,16 @@ def analyze_url(spark: SparkSession, cat: Catalog | None, url: str, web: SynthWe
             if hit.head(1):
                 return hit.withColumn("cached", F.lit(True))
     one = spark.createDataFrame([(url,)], ["url_canon"])
-    fetched = fetch_src.fetch_pages(one, web)
+    if cfg is not None and getattr(cfg, "transport", "synth") == "http":
+        fetched = fetch_src.fetch_pages_http(
+            one,
+            timeout_s=float(cfg.request_timeout),
+            user_agent=cfg.user_agent,
+            retries=cfg.http_inbatch_retries,
+            concurrency=cfg.http_concurrency,
+        )
+    else:
+        fetched = fetch_src.fetch_pages(one, web)
     return fetched.withColumn("_an", textops.analyze_udf(F.col("content"))).select(
         F.col("url_canon").alias("url"),
         F.col("_an.title").alias("title"),
@@ -96,11 +119,13 @@ def trending_topics(cat: Catalog, k: int = 10, n_related: int = 3) -> DataFrame:
         # consumed by four branches below (per-gen counts, sources, the
         # latest-gen filter, and the co-occurrence self-join) — persist so
         # one action scans + explodes the pages table once, not 4-5 times.
-        # Caches live until session end (the returned frame is lazy, so
-        # there is no point to unpersist at); they are MEMORY_AND_DISK and
-        # LRU-evicted, and repeated calls share the entry (same lineage).
-        .persist()
+        # Registered op cache: the returned frame is lazy so there is no
+        # point to unpersist AT, but callers iterating many catalogs can
+        # release every op cache with
+        # functions.dedupops.unpersist_op_caches() once done; repeated
+        # calls over one catalog share the plan-canonical entry.
     )
+    page_topics = register_op_cache(page_topics)
     per_gen = page_topics.groupBy("topic", "gen").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy("topic").orderBy("gen")
     g = per_gen.withColumn("prev", F.lag("cnt").over(w))
@@ -138,8 +163,9 @@ def trending_topics(cat: Catalog, k: int = 10, n_related: int = 3) -> DataFrame:
     )
     wr = Window.orderBy(F.desc("frequency"), F.col("topic"))
     # k rows; reused by topk_names (twice) and the final join — persist so
-    # the aggregation + global top-k cut runs once per action
-    top = top.withColumn("rk", F.row_number().over(wr)).persist()
+    # the aggregation + global top-k cut runs once per action (registered:
+    # released by functions.dedupops.unpersist_op_caches())
+    top = register_op_cache(top.withColumn("rk", F.row_number().over(wr)))
 
     topk_names = top.select("topic")
 

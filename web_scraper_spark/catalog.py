@@ -463,7 +463,10 @@ class Catalog:
                     rel_files |= {
                         os.path.join(rel_dir, fn) for fn in fns if fn.endswith(".parquet")
                     }
-                if rel_files and rel_files.isdisjoint(live_files):
+                # a dir with NO parquet files (a 0-row write leaves only
+                # _SUCCESS) is never referenced by any manifest — reclaim
+                # it too, or drained-frontier commits accrete empty dirs
+                if rel_files.isdisjoint(live_files):
                     removed_files += len(rel_files)
                     shutil.rmtree(vpath)
         return {"snapshots_removed": removed_snaps, "files_removed": removed_files}

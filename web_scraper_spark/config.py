@@ -61,10 +61,21 @@ class CrawlConfig:
     seed: int = 42
     horizon: float = 8.0          # politeness window length per generation (s)
     num_shards: int = 32          # seen-set shards (>=4096 at cluster scale)
+    # host-keyed state buckets (host_state, robots) — the COW partition
+    # grain for per-generation commits/reads of those tables (>=1024 at
+    # cluster scale; pinned in the snapshot like num_shards)
+    num_host_buckets: int = 32
     shuffle_partitions: int = 32
     hot_host_salt: int = 8        # number of salt sub-shards for hot hosts
     bloom_fpp: float = 0.01
     oracle_mode: bool = False     # batch-of-1 generations → exact ZSET pop order
     compact_every: int = 64       # generations between append-table compactions
+    # snapshot retention, applied on the compact_every cadence: expire
+    # manifests beyond the newest `retention_keep_last` plus any data files
+    # no kept snapshot references (the reference's Redis EXPIRE analog,
+    # cache.c:143). Without it a 10^6-generation crawl accretes 10^6
+    # manifests + superseded version dirs. None = keep everything.
+    # Time travel and read_incremental stay exact WITHIN the window.
+    retention_keep_last: int | None = 128
 
     extra_spark_conf: dict = field(default_factory=dict)

@@ -217,14 +217,18 @@ def sign_sig_pairs(
     mask = (1 << width) - 1
     # both self-join sides derive from this frame: persist so the
     # sig_bits×dim dot-product kernel runs once over the corpus (same
-    # pattern as simhash_pairs; 2 longs/vector cached). Library-level
-    # persist, never unpersisted: the entry is plan-canonical so repeated
-    # calls over the same input share ONE cache slot, MEMORY_AND_DISK +
-    # LRU bounds the cost; loop-heavy callers can spark.catalog.clearCache()
-    s = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        sign_sig_expr(F.col(vec_col), sig_bits).alias("sig"),
-    ).persist()
+    # pattern as simhash_pairs; 2 longs/vector cached). Registered with
+    # dedupops.register_op_cache: repeated calls over the same input share
+    # ONE plan-canonical cache slot, and loop-heavy callers release all op
+    # caches with dedupops.unpersist_op_caches() between corpora.
+    from .dedupops import register_op_cache
+
+    s = register_op_cache(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            sign_sig_expr(F.col(vec_col), sig_bits).alias("sig"),
+        )
+    )
     bands = s.select(
         "vec_id",
         "sig",

@@ -253,6 +253,20 @@ def shard_expr(url_sha1: Column, num_shards: int) -> Column:
     return F.pmod(F.conv(F.substring(url_sha1, 1, 8), 16, 10).cast("long"), F.lit(num_shards)).cast("int")
 
 
+def host_bucket_expr(host: Column, num_buckets: int) -> Column:
+    """Deterministic bucket id for HOST-keyed state tables (host_state,
+    robots): first 8 hex chars of sha1(host) mod B — same engine-portable
+    construction as shard_expr, so bucket assignment survives resume on any
+    Spark build. This is the partition key that makes per-generation
+    host-state/robots commits O(touched buckets) instead of O(hosts ever
+    seen) — the distributed analog of the reference's O(1) per-domain Redis
+    keys (rate_limiter.c:17-52, robots_parser.c:398-408)."""
+    return F.pmod(
+        F.conv(F.substring(F.sha1(host), 1, 8), 16, 10).cast("long"),
+        F.lit(num_buckets),
+    ).cast("int")
+
+
 def split_base_path_exprs(url: Column) -> tuple[Column, Column]:
     """split_url: base = up to first '/' at index>=8; path defaults to '/'."""
     head = F.substring(url, 1, 8)

@@ -75,10 +75,12 @@ def neardup_image_pairs(
     assert 64 % n_bands == 0, "n_bands must divide 64"
     # both band-join sides derive from this projection: persist it or
     # Catalyst re-executes the upstream (possibly image-synthesis/decode)
-    # subtree once per side. (Library-level persist, never unpersisted:
-    # the cache entry is plan-canonical, so repeated calls over the same
-    # input reuse ONE entry, MEMORY_AND_DISK + LRU bounds the cost.)
-    ph = images.select("image_id", "phash").persist()
+    # subtree once per side. Registered so callers can release every op
+    # cache with dedupops.unpersist_op_caches() between corpora (repeated
+    # calls over one input still share the plan-canonical entry).
+    from ..functions.dedupops import register_op_cache
+
+    ph = register_op_cache(images.select("image_id", "phash"))
     bands = ph.select(
         "image_id",
         "phash",

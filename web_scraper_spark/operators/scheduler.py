@@ -283,6 +283,7 @@ _FOLD_RESULT = schemas.HOST_STATE
 def fold_host_state(
     host_state: DataFrame,
     results: DataFrame,
+    delta_only: bool = False,
 ) -> DataFrame:
     """Replay rate_limiter_update per host in slot order over the batch.
 
@@ -290,6 +291,13 @@ def fold_host_state(
     rows are folded sequentially (the C loop is inherently sequential per
     host) but hosts fold in parallel — the same key-parallelism as the rest
     of the engine. Hosts without results keep their state.
+
+    ``delta_only=True`` returns ONLY the touched hosts' new rows (no union
+    with the untouched remainder) — the bucketed COW commit path carries
+    untouched hosts forward at FILE level instead (crawl.run_generation),
+    so the per-generation host-state cost is O(batch hosts), never
+    O(hosts ever seen). Default keeps the full-table semantics for callers
+    without bucket lineage.
     """
     st = host_state.select(
         "host", "min_delay", "current_delay", "last_fetch", "consecutive_errors"
@@ -343,6 +351,8 @@ def fold_host_state(
         )
 
     updated = joined.groupBy("host").applyInPandas(fold, schema=_FOLD_RESULT)
+    if delta_only:
+        return updated
     untouched = st.join(res.select("host").distinct(), "host", "left_anti")
     return updated.unionByName(untouched)
 

@@ -55,15 +55,19 @@ def get_spark(
         .config("spark.shuffle.compress", "false")
         .config("spark.shuffle.spill.compress", "false")
     )
-    # local-mode shuffle scratch on tmpfs when available: local[N] writes
-    # every shuffle/spill file to spark.local.dir, which defaults to /tmp —
-    # here a host-contended virtio disk (uncompressed shuffle makes the
-    # bytes big, and host-side disk load varies run-to-run, which polluted
-    # cross-session scaling numbers). /dev/shm is guest DRAM. On a real
-    # cluster each executor gets node-local NVMe via spark.local.dir /
-    # yarn.nodemanager.local-dirs instead — keep compression ON there.
-    shm = "/dev/shm/wss-spark-local"
-    if os.path.isdir("/dev/shm"):
+    # Bench-only: shuffle scratch on tmpfs. local[N] writes every
+    # shuffle/spill file to spark.local.dir (default /tmp — here a
+    # host-contended virtio disk whose load varies run-to-run and polluted
+    # cross-session scaling numbers); /dev/shm is guest DRAM. But tmpfs is
+    # RAM-backed and typically capped at 50% of RAM, so a large spill —
+    # the exact event spark.local.dir exists to absorb — would consume
+    # memory instead of relieving it and can ENOSPC the job. So this is
+    # OPT-IN via WSS_SHM_LOCAL_DIR=1 (bench.py / scaling_bench set it);
+    # library consumers keep Spark's default local dir. On a real cluster
+    # each executor gets node-local NVMe via spark.local.dir /
+    # yarn.nodemanager.local-dirs, with compression kept ON.
+    if os.environ.get("WSS_SHM_LOCAL_DIR") == "1" and os.path.isdir("/dev/shm"):
+        shm = "/dev/shm/wss-spark-local"
         os.makedirs(shm, exist_ok=True)
         builder = builder.config("spark.local.dir", shm)
     for k, v in (extra_conf or {}).items():

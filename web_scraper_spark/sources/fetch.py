@@ -104,23 +104,44 @@ def fetch_robots(hosts: DataFrame, cfg: SynthWebConfig) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _read_capped(resp, timeout_s: float) -> bytes | None:
-    """Read ≤MAX_RESPONSE_SIZE under a HARD wall-clock deadline.
+def _shrink_sock_timeout(resp, seconds: float) -> None:
+    """Best-effort: clamp the response's underlying socket timeout to the
+    remaining deadline so one blocking read() can never outlive it. The
+    socket lives behind http.client's buffered makefile; if the private
+    attribute path moves in a future Python, reads simply keep the original
+    per-op timeout and the outer deadline check still bounds total time to
+    at most deadline + one socket timeout."""
+    try:
+        resp.fp.raw._sock.settimeout(max(0.05, seconds))
+    except Exception:
+        pass
+
+
+def _read_capped(resp, deadline: float) -> bytes | None:
+    """Read ≤MAX_RESPONSE_SIZE under a HARD wall-clock deadline (an
+    absolute time.perf_counter() instant shared with the connect phase).
 
     urllib's `timeout` is the PER-SOCKET-OPERATION timeout, not a total
     cap: a tarpit trickling one byte per (timeout−ε) never trips it and
     would pin a ThreadPoolExecutor worker for hours. CURLOPT_TIMEOUT in
-    the reference caps the WHOLE transfer — mirror that with a deadline-
-    checked chunked read; None = deadline exceeded (transport failure)."""
+    the reference caps the WHOLE transfer INCLUDING connect — mirror that
+    by starting the deadline before urlopen (see _http_get) and shrinking
+    the per-read socket timeout to the remaining budget, so an attempt
+    can't stretch to ~2x timeout (connect + trickled body);
+    None = deadline exceeded (transport failure)."""
     import time
 
-    deadline = time.perf_counter() + timeout_s
     chunks: list[bytes] = []
     total = 0
     while total <= MAX_RESPONSE_SIZE:
-        if time.perf_counter() > deadline:
+        remaining = deadline - time.perf_counter()
+        if remaining <= 0:
             return None
-        chunk = resp.read(min(65536, MAX_RESPONSE_SIZE + 1 - total))
+        _shrink_sock_timeout(resp, remaining)
+        try:
+            chunk = resp.read(min(65536, MAX_RESPONSE_SIZE + 1 - total))
+        except Exception:  # socket timeout at the shrunken budget
+            return None
         if not chunk:
             break
         chunks.append(chunk)
@@ -131,23 +152,26 @@ def _read_capped(resp, timeout_s: float) -> bytes | None:
 def _http_get(url: str, timeout_s: float, user_agent: str):
     """One GET with fetch_url.c semantics: follow redirects (urllib
     default ≙ CURLOPT_FOLLOWLOCATION), hard total timeout (CURLOPT_TIMEOUT
-    — enforced by the deadline-checked body read, see _read_capped), UA
-    header. HTTP 4xx/5xx return (code, body) — the C reads the status
-    via CURLINFO_RESPONSE_CODE and keeps whatever body arrived; transport
-    errors (DNS, refused, timeout) return (None, None) — the CURLE_!OK
-    path the engine maps to a fetch failure (T7)."""
+    — the deadline starts BEFORE urlopen so connect + headers + body all
+    share one budget, see _read_capped), UA header. HTTP 4xx/5xx return
+    (code, body) — the C reads the status via CURLINFO_RESPONSE_CODE and
+    keeps whatever body arrived; transport errors (DNS, refused, timeout)
+    return (None, None) — the CURLE_!OK path the engine maps to a fetch
+    failure (T7)."""
+    import time
     import urllib.error
     import urllib.request
 
+    deadline = time.perf_counter() + timeout_s
     req = urllib.request.Request(url, headers={"User-Agent": user_agent})
     try:
         with urllib.request.urlopen(req, timeout=timeout_s) as resp:
-            body = _read_capped(resp, timeout_s)
+            body = _read_capped(resp, deadline)
             if body is None:
                 return None, None, None
             return resp.status, body, resp.headers.get("Content-Type")
     except urllib.error.HTTPError as e:
-        body = _read_capped(e, timeout_s)
+        body = _read_capped(e, deadline)
         if body is None:
             return None, None, None
         return e.code, body, e.headers.get("Content-Type")
