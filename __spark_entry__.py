@@ -817,6 +817,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_keep_set"] = q_image_keep_set
 
+    def q_pair_keep_set(spark, sf_dir):
+        """JOINT image+caption keep-set (pairs.pair_keep_ids): drop a
+        training pair when the image is a phash near-dup of a smaller id
+        OR the caption is an exact/simhash near-dup of a smaller id.
+        Boilerplate captions are injected on ids ending in 7 (the same
+        CASE is applied in the oracle) so the caption stage provably
+        fires alongside the synth corpus's built-in image near-dups.
+        Both stages pigeonhole-exact -> fully value-oracled."""
+        from web_scraper_spark import synth
+        from web_scraper_spark.operators import pairs as pairs_ops
+
+        imgs = synth.images_df(spark, 512, seed=42).select(
+            "image_id", "phash", "caption"
+        )
+        imgs = imgs.withColumn(
+            "caption",
+            F.when(
+                F.substring("image_id", 14, 1) == "7", F.lit(_BOILER_CAPTION)
+            ).otherwise(F.col("caption")),
+        )
+        return pairs_ops.pair_keep_ids(imgs)
+
+    q["pair_keep_set"] = q_pair_keep_set
+
     def _clips(spark, n=64):
         # deterministic fake clip table: the decode step is a DISCLOSED
         # stub (no codec libs in this sandbox — multimodal.py), so bytes
@@ -872,6 +896,27 @@ def _image_phash_values(n: int, seed: int) -> str:
     pdf = synth.images_pdf(pd.Series(range(n)), seed)
     return ", ".join(
         f"('{i}', {p})" for i, p in zip(pdf["image_id"], pdf["phash"])
+    )
+
+
+_BOILER_CAPTION = "stock photo of a sunset over the ocean"
+
+
+@functools.lru_cache(maxsize=4)
+def _image_pair_values(n: int, seed: int) -> str:
+    """(image_id, phash, caption) VALUES literal for the pair_keep_set
+    oracle — same deterministic synth rows as the Spark query, derived
+    without Spark (pure pandas/numpy). Captions are SQL-escaped (the
+    wordlist includes quotes-free non-ASCII; escaping is still applied
+    defensively)."""
+    import pandas as pd
+
+    from web_scraper_spark import synth
+
+    pdf = synth.images_pdf(pd.Series(range(n)), seed)
+    return ", ".join(
+        "('{}', {}, '{}')".format(i, p, c.replace("'", "''"))
+        for i, p, c in zip(pdf["image_id"], pdf["phash"], pdf["caption"])
     )
 
 
@@ -1176,6 +1221,41 @@ GROUP BY 1, 2
       )
       SELECT image_id, phash FROM p
       WHERE image_id NOT IN (SELECT image_id FROM drops)
+    """
+
+    _pair_vals = _image_pair_values(512, 42)
+    _cap_sh = dedupops.simhash_sql("caption")
+    from web_scraper_spark.functions.textanalysis import md5_60_sql as _md5_60_sql
+
+    _cap_fp = _md5_60_sql("caption")
+    o["pair_keep_set"] = f"""
+      WITH p0(image_id, phash, caption0) AS (VALUES {_pair_vals}),
+      p AS (
+        SELECT image_id, phash,
+               CASE WHEN substr(image_id, 14, 1) = '7'
+                    THEN '{_BOILER_CAPTION}' ELSE caption0 END AS caption
+        FROM p0
+      ),
+      img_drops AS (
+        SELECT DISTINCT b.image_id FROM p a JOIN p b
+          ON a.image_id < b.image_id
+         AND bit_count(xor(a.phash, b.phash)) <= 3
+      ),
+      fp AS (SELECT image_id AS id, {_cap_fp} AS fp FROM p),
+      exact_drops AS (
+        SELECT f.id FROM fp f
+        JOIN (SELECT fp, min(id) AS m FROM fp GROUP BY fp) g
+          ON f.fp = g.fp AND f.id <> g.m
+      ),
+      sh AS (SELECT image_id AS id, {_cap_sh} AS sh FROM p),
+      near_drops AS (
+        SELECT DISTINCT b.id FROM sh a JOIN sh b ON a.id < b.id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      )
+      SELECT image_id, phash, caption FROM p
+      WHERE image_id NOT IN (SELECT image_id FROM img_drops)
+        AND image_id NOT IN (
+          SELECT id FROM exact_drops UNION SELECT id FROM near_drops)
     """
 
     # same shared closure builder as dup_clusters_sql — the three cluster

@@ -221,6 +221,7 @@ def bench_queries(spark):
         "embedding_sig_neardup": run("embedding_sig_neardup"),
         "image_invariants": run("image_invariants"),
         "image_neardup_lsh": run("image_neardup_lsh"),
+        "pair_keep_set": run("pair_keep_set"),
     }
 
 

@@ -63,3 +63,28 @@ def test_dedup_pairs_antijoin(spark, crawl_and_images):
     drops = pairs_ops.neardup_image_ids(images, 3)
     joined = pairs.join(drops, "image_id", "left_semi").count()
     assert deduped.count() == pairs.count() - joined
+
+
+def test_pair_keep_ids_both_axes_fire(spark):
+    """The joint image+caption keep-set drops on EITHER axis: a phash
+    near-dup with a unique caption, a caption dup with a unique image,
+    and survivors untouched."""
+    from web_scraper_spark import synth
+
+    # ids 0,1 are a seeded phash near-dup pair (NEARDUP_STRIDE); give
+    # every row a unique caption except two boilerplate copies on ids 4,6
+    imgs = synth.images_df(spark, 8, seed=42).select("image_id", "phash", "caption")
+    boiler = "the same caption twice"
+    imgs = imgs.withColumn(
+        "caption",
+        F.when(F.col("image_id").isin("img-0000000004", "img-0000000006"),
+               F.lit(boiler)).otherwise(F.col("caption")),
+    )
+    kept = {r["image_id"] for r in pairs_ops.pair_keep_ids(imgs).collect()}
+    assert "img-0000000001" not in kept  # image near-dup of id 0
+    assert "img-0000000000" in kept      # its keep-first representative
+    assert "img-0000000006" not in kept  # caption dup of id 4
+    assert "img-0000000004" in kept      # caption keep-first
+    # survivors keep all columns
+    row = pairs_ops.pair_keep_ids(imgs).filter(F.col("image_id") == "img-0000000004").collect()[0]
+    assert row["caption"] == boiler and row["phash"] is not None

@@ -119,6 +119,44 @@ def neardup_image_ids(
     )
 
 
+def pair_keep_ids(
+    images: DataFrame,
+    max_phash_hamming: int = 3,
+    caption_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """JOINT image+caption keep-set — the end product for the north-rule
+    data shape (image_id, bytes, w, h, fmt, caption, phash): a pair is
+    dropped when its IMAGE is a phash near-dup of a lexicographically
+    smaller id (neardup_image_ids, J6) OR its CAPTION is an exact or
+    simhash near-dup of a smaller id (dedupops.dedup_keep_ids applied to
+    the caption column). Returns the surviving rows with every input
+    column. Both prune stages are pigeonhole-exact (hamming < n_bands),
+    so the whole composite is SQL-oracle-able.
+
+    Why both axes: a multimodal training pipeline must drop re-encoded /
+    lightly-retouched images EVEN when their captions differ, and
+    boilerplate captions ("stock photo of ...") EVEN when the images
+    differ — either alone leaks near-duplicates into the training set.
+
+    Scale shape: one 64-bit phash band self-join + one 60-bit caption
+    simhash band self-join (both bucket equi-joins, ids-only shuffles) +
+    an anti-join and a semi-join on image_id. Never O(n²)."""
+    from ..functions import dedupops
+
+    img_drops = neardup_image_ids(
+        images.select("image_id", "phash"), max_phash_hamming, n_bands
+    )
+    cap_keep = dedupops.dedup_keep_ids(
+        images, max_hamming=caption_hamming, id_col="image_id",
+        text_col="caption", n_bands=n_bands,
+    )
+    return (
+        images.join(img_drops, "image_id", "left_anti")
+        .join(cap_keep, "image_id", "left_semi")
+    )
+
+
 def image_dup_clusters(
     images: DataFrame, max_hamming: int = 3, n_bands: int = 4
 ) -> DataFrame:
