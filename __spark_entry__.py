@@ -473,6 +473,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_keep_set"] = q_dedup_keep_set
 
+    def q_dedup_keep_set_incremental(spark, sf_dir):
+        """'Train on new data only': incremental keep-set of a NEW batch
+        against an already-deduped OLD corpus (dedupops.
+        dedup_keep_ids_incremental; pair with Catalog.read_incremental in
+        the crawl loop). Docs split old/new by doc_id parity (so the
+        precedence rule — old always wins — differs observably from
+        min-id); dups injected BOTH ways (copies of old texts at new ids,
+        and new-new copies) so every drop path provably fires. Old docs'
+        text is never rescanned beyond its one-time index."""
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        old_raw = d.filter(F.col("doc_id") % 2 == 0)
+        old = old_raw.join(
+            dedupops.dedup_keep_ids(old_raw, max_hamming=3), "doc_id", "left_semi"
+        )
+        new_base = d.filter(F.col("doc_id") % 2 == 1)
+        dup_old = old_raw.orderBy("doc_id").limit(5).withColumn(
+            "doc_id", F.col("doc_id") + 500000
+        )
+        dup_new = new_base.orderBy("doc_id").limit(5).withColumn(
+            "doc_id", F.col("doc_id") + 600000
+        )
+        new = new_base.unionByName(dup_old).unionByName(dup_new)
+        return dedupops.dedup_keep_ids_incremental(old, new, max_hamming=3)
+
+    q["dedup_keep_set_incremental"] = q_dedup_keep_set_incremental
+
     def q_corpus_clean(spark, sf_dir):
         """The full text-side training-data pipeline as ONE composite:
         language filter (keep 'en') + quality threshold (>= 0.9) + the
@@ -841,6 +867,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pair_keep_set"] = q_pair_keep_set
 
+    def q_pair_corpus_clean(spark, sf_dir):
+        """Full multimodal pipeline composite (pairs.pair_corpus_clean):
+        geometry filter (>=1024 decoded pixels, aspect <= 4) + caption
+        token filter (>= 4 tokens) + the joint image+caption keep-set.
+        Boilerplate captions injected on ids ending in 3 so the caption
+        stage provably fires after the filters; every stage exact ->
+        value-oracled end to end."""
+        from web_scraper_spark import synth
+        from web_scraper_spark.operators import pairs as pairs_ops
+
+        imgs = synth.images_df(spark, 512, seed=42).select(
+            "image_id", "w", "h", "fmt", "caption", "phash"
+        )
+        imgs = imgs.withColumn(
+            "caption",
+            F.when(
+                F.substring("image_id", 14, 1) == "3", F.lit(_BOILER_CAPTION)
+            ).otherwise(F.col("caption")),
+        )
+        return pairs_ops.pair_corpus_clean(imgs)
+
+    q["pair_corpus_clean"] = q_pair_corpus_clean
+
     def _clips(spark, n=64):
         # deterministic fake clip table: the decode step is a DISCLOSED
         # stub (no codec libs in this sandbox — multimodal.py), so bytes
@@ -917,6 +966,23 @@ def _image_pair_values(n: int, seed: int) -> str:
     return ", ".join(
         "('{}', {}, '{}')".format(i, p, c.replace("'", "''"))
         for i, p, c in zip(pdf["image_id"], pdf["phash"], pdf["caption"])
+    )
+
+
+@functools.lru_cache(maxsize=4)
+def _image_pair_full_values(n: int, seed: int) -> str:
+    """(image_id, w, h, fmt, caption, phash) VALUES literal for the
+    pair_corpus_clean oracle."""
+    import pandas as pd
+
+    from web_scraper_spark import synth
+
+    pdf = synth.images_pdf(pd.Series(range(n)), seed)
+    return ", ".join(
+        "('{}', {}, {}, '{}', '{}', {})".format(
+            r.image_id, r.w, r.h, r.fmt, r.caption.replace("'", "''"), r.phash
+        )
+        for r in pdf.itertuples()
     )
 
 
@@ -1126,6 +1192,45 @@ def oracle_sql() -> dict[str, str]:
       )"""
     o["dedup_keep_set"] = dedupops.dedup_keep_ids_sql(max_hamming=3, table=_unioned)
 
+    _inc_fp = dedupops.md5_60_sql("text")
+    _inc_sh = dedupops.simhash_sql("text")
+    _old_keep = dedupops.dedup_keep_ids_sql(
+        max_hamming=3,
+        table="(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)",
+    )
+    o["dedup_keep_set_incremental"] = f"""
+      WITH old_t AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 2 = 0 AND doc_id IN ({_old_keep})
+      ),
+      new_t AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + 500000, text FROM (
+          SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+          ORDER BY doc_id LIMIT 5)
+        UNION ALL
+        SELECT doc_id + 600000, text FROM (
+          SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+          ORDER BY doc_id LIMIT 5)
+      ),
+      fpo AS (SELECT {_inc_fp} AS fp FROM old_t),
+      fpn AS (SELECT doc_id AS id, {_inc_fp} AS fp FROM new_t),
+      sho AS (SELECT {_inc_sh} AS sh FROM old_t),
+      shn AS (SELECT doc_id AS id, {_inc_sh} AS sh FROM new_t),
+      drops AS (
+        SELECT id FROM fpn WHERE fp IN (SELECT fp FROM fpo)
+        UNION
+        SELECT a.id FROM fpn a JOIN fpn b ON b.id < a.id AND a.fp = b.fp
+        UNION
+        SELECT n.id FROM shn n JOIN sho o ON bit_count(xor(n.sh, o.sh)) <= 3
+        UNION
+        SELECT a.id FROM shn a JOIN shn b
+          ON b.id < a.id AND bit_count(xor(a.sh, b.sh)) <= 3
+      )
+      SELECT doc_id FROM new_t WHERE doc_id NOT IN (SELECT id FROM drops)
+    """
+
     o["dup_clusters"] = dedupops.dup_clusters_sql(max_hamming=3)
 
     o["stratified_sample"] = f"""
@@ -1253,6 +1358,52 @@ GROUP BY 1, 2
         WHERE bit_count(xor(a.sh, b.sh)) <= 3
       )
       SELECT image_id, phash, caption FROM p
+      WHERE image_id NOT IN (SELECT image_id FROM img_drops)
+        AND image_id NOT IN (
+          SELECT id FROM exact_drops UNION SELECT id FROM near_drops)
+    """
+
+    _pair_full = _image_pair_full_values(512, 42)
+    from web_scraper_spark.functions.textanalysis import token_count_sql as _tok_sql
+
+    _cap_tok = _tok_sql("caption")
+    o["pair_corpus_clean"] = f"""
+      WITH p0(image_id, w, h, fmt, caption0, phash) AS (VALUES {_pair_full}),
+      p1 AS (
+        SELECT image_id, w, h, fmt, phash,
+               CASE WHEN substr(image_id, 14, 1) = '3'
+                    THEN '{_BOILER_CAPTION}' ELSE caption0 END AS caption
+        FROM p0
+      ),
+      p AS (
+        SELECT image_id, w, h, fmt, caption, phash,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               round(greatest(w, h) / least(w, h), 6) AS aspect,
+               CAST({_cap_tok} AS INTEGER) AS caption_tokens
+        FROM p1
+        WHERE w * h >= 1024
+          AND greatest(w, h) / least(w, h) <= 4.0
+          AND {_cap_tok} >= 4
+      ),
+      img_drops AS (
+        SELECT DISTINCT b.image_id FROM p a JOIN p b
+          ON a.image_id < b.image_id
+         AND bit_count(xor(a.phash, b.phash)) <= 3
+      ),
+      fp AS (SELECT image_id AS id, {_cap_fp} AS fp FROM p),
+      exact_drops AS (
+        SELECT f.id FROM fp f
+        JOIN (SELECT fp, min(id) AS m FROM fp GROUP BY fp) g
+          ON f.fp = g.fp AND f.id <> g.m
+      ),
+      sh AS (SELECT image_id AS id, {_cap_sh} AS sh FROM p),
+      near_drops AS (
+        SELECT DISTINCT b.id FROM sh a JOIN sh b ON a.id < b.id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      )
+      SELECT image_id, w, h, fmt, caption, phash,
+             n_pixels, aspect, caption_tokens
+      FROM p
       WHERE image_id NOT IN (SELECT image_id FROM img_drops)
         AND image_id NOT IN (
           SELECT id FROM exact_drops UNION SELECT id FROM near_drops)

@@ -572,3 +572,61 @@ class TestIvfDistributedQueries:
             ).collect()
         }
         assert a == b
+
+
+class TestIncrementalDedup:
+    def test_equals_one_shot_when_ids_ordered(self, spark):
+        """When every old id < every new id, precedence == min-id, so the
+        incremental keep-set must equal dedup_keep_ids(old ∪ new)
+        restricted to the new ids — on seeded corpora with injected
+        exact AND near dups in both directions."""
+        import random
+
+        rng = random.Random(11)
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+        def text(n):
+            return " ".join(rng.choice(words) for _ in range(n))
+
+        rows = [(i, text(rng.randint(5, 12))) for i in range(30)]
+        # near-dups: copy an early text with one word changed; exact dups too
+        rows += [(100 + i, rows[i][1] + " omega") for i in range(4)]
+        rows += [(200 + i, rows[i][1]) for i in range(3)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        old_raw = df.filter(F.col("doc_id") < 20)
+        old = old_raw.join(
+            dedupops.dedup_keep_ids(old_raw, max_hamming=3), "doc_id", "left_semi"
+        )
+        new = df.filter(F.col("doc_id") >= 20)
+        inc = {
+            r["doc_id"]
+            for r in dedupops.dedup_keep_ids_incremental(old, new, max_hamming=3).collect()
+        }
+        union = old.unionByName(new)
+        oneshot = {
+            r["doc_id"]
+            for r in dedupops.dedup_keep_ids(union, max_hamming=3).collect()
+            if r["doc_id"] >= 20
+        }
+        assert inc == oneshot
+        dedupops.unpersist_op_caches()
+
+    def test_old_always_wins_regardless_of_id(self, spark):
+        """The precedence rule: a NEW doc that duplicates an OLD doc is
+        dropped even when the new id is SMALLER — min-id keep-first would
+        keep it."""
+        old = spark.createDataFrame(
+            [(50, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "an entirely different document about spark")],
+            "doc_id long, text string",
+        )
+        kept = {
+            r["doc_id"]
+            for r in dedupops.dedup_keep_ids_incremental(old, new).collect()
+        }
+        assert kept == {2}
+        dedupops.unpersist_op_caches()

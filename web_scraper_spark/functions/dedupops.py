@@ -566,6 +566,97 @@ def dedup_keep_ids(
     return docs.select(id_col).join(drops, id_col, "left_anti")
 
 
+def dedup_keep_ids_incremental(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 4,
+) -> DataFrame:
+    """Incremental keep-set — the 'train on new data only' composite:
+    given an already-deduped OLD corpus (survivors of prior batches; pair
+    with Catalog.read_incremental to obtain the NEW batch) return the new
+    batch's keep ids. A new doc survives iff it is not an exact or
+    simhash near-dup (hamming <= max_hamming) of ANY old doc, nor of a
+    smaller-id new doc.
+
+    Precedence, not min-id: old docs ALWAYS win — they are already in the
+    training set and cannot be unshipped, so a new near-dup is dropped
+    even when its id is smaller. When every old id < every new id this
+    equals dedup_keep_ids(old ∪ new) restricted to the new ids (pinned by
+    a property test).
+
+    Scale shape: the old corpus contributes only its (id, fp/simhash)
+    index — at 10^10 docs that index is materialized once and appended
+    per batch, never rescanned as text; per-batch cost is O(new × bands)
+    plus the band-bucket probes into the index. Both self/cross joins are
+    band-bucket equi-joins, never O(n²)."""
+    fp_new = register_op_cache(
+        new_docs.select(F.col(id_col), md5_60_expr(F.col(text_col)).alias("fp"))
+    )
+    fp_old = old_docs.select(md5_60_expr(F.col(text_col)).alias("fp"))
+    drops = fp_new.join(fp_old, "fp", "left_semi").select(id_col)
+    keep_first = fp_new.groupBy("fp").agg(F.min(id_col).alias("_k"))
+    drops = drops.unionByName(
+        fp_new.join(keep_first, "fp")
+        .filter(F.col(id_col) != F.col("_k"))
+        .select(id_col)
+    )
+    if max_hamming >= 0:
+        assert max_hamming < n_bands, "pigeonhole guarantee needs n_bands > max_hamming"
+        assert SIMHASH_BITS % n_bands == 0, f"n_bands must divide {SIMHASH_BITS}"
+        band_w = SIMHASH_BITS // n_bands
+        mask = (1 << band_w) - 1
+
+        def sig(docs, tag):
+            return register_op_cache(
+                docs.select(
+                    F.col(id_col).alias("id"),
+                    simhash_expr(F.col(text_col)).alias("sh"),
+                    F.lit(tag).alias("src"),
+                )
+            )
+
+        def bands_of(s):
+            return s.select(
+                "id", "sh", "src",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("band"),
+                                F.shiftrightunsigned(F.col("sh"), b * band_w)
+                                .bitwiseAND(F.lit(mask))
+                                .alias("bv"),
+                            )
+                            for b in range(n_bands)
+                        ]
+                    )
+                ).alias("bb"),
+            ).select(
+                "id", "sh", "src",
+                F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"),
+            )
+
+        new_sig = sig(new_docs, "new")
+        old_sig = sig(old_docs, "old")
+        probe = bands_of(new_sig).select(
+            F.col("id").alias("nid"), F.col("sh").alias("nsh"), "band", "bv"
+        )
+        index = bands_of(old_sig.unionByName(new_sig))
+        near = (
+            probe.join(index, ["band", "bv"])
+            .filter((F.col("src") == "old") | (F.col("id") < F.col("nid")))
+            .filter(
+                F.bit_count(F.col("nsh").bitwiseXOR(F.col("sh"))) <= max_hamming
+            )
+            .select(F.col("nid").alias(id_col))
+        )
+        drops = drops.unionByName(near)
+    return new_docs.select(id_col).join(drops.distinct(), id_col, "left_anti")
+
+
 def dedup_keep_ids_sql(
     max_hamming: int = 3, table: str = "documents",
     id_col: str = "doc_id", text_col: str = "text",

@@ -157,6 +157,54 @@ def pair_keep_ids(
     )
 
 
+def pair_corpus_clean(
+    images: DataFrame,
+    min_pixels: int = 1024,
+    max_aspect: float = 4.0,
+    min_caption_tokens: int = 4,
+    max_phash_hamming: int = 3,
+    caption_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """The full multimodal training-pair pipeline as ONE composite — the
+    image twin of the text side's corpus_clean: (1) image geometry filter
+    (min decoded pixel count, max aspect ratio — the cheap metadata cut a
+    pipeline runs before any pixel work), (2) caption token-count filter,
+    (3) the joint image+caption keep-set (pair_keep_ids). Returns each
+    surviving pair with its scores (n_pixels, aspect, caption_tokens).
+
+    Every stage is an exact kernel with a SQL twin, so the composite is
+    value-oracled end to end. Scale shape: the filters are JVM
+    whole-stage-codegen expressions pushed onto the scan; the scored
+    survivor frame is persisted once (registered) and feeds both keep-set
+    derivations and the final join."""
+    from ..functions.dedupops import register_op_cache
+    from ..functions.textanalysis import token_count_expr
+
+    scored = (
+        images.withColumn("n_pixels", (F.col("w") * F.col("h")).cast("long"))
+        .withColumn(
+            "aspect",
+            F.round(F.greatest("w", "h") / F.least("w", "h"), 6),
+        )
+        .withColumn(
+            "caption_tokens", token_count_expr(F.col("caption")).cast("int")
+        )
+        .filter(
+            (F.col("n_pixels") >= min_pixels)
+            & (F.col("aspect") <= max_aspect)
+            & (F.col("caption_tokens") >= min_caption_tokens)
+        )
+    )
+    scored = register_op_cache(scored)
+    return pair_keep_ids(
+        scored,
+        max_phash_hamming=max_phash_hamming,
+        caption_hamming=caption_hamming,
+        n_bands=n_bands,
+    )
+
+
 def image_dup_clusters(
     images: DataFrame, max_hamming: int = 3, n_bands: int = 4
 ) -> DataFrame:
