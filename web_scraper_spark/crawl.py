@@ -649,11 +649,14 @@ def run_generation(
     elif compact_now:
         # compaction rewrites the whole table but KEEPS bucket lineage
         old_rb = cat.read("robots", snap)
-        if "host_bucket" not in old_rb.columns:
-            old_rb = old_rb.withColumn("host_bucket", _hb)
-        cat.stage_cow(
-            "robots", old_rb.unionByName(new_rules_b), "host_bucket", None, snap
-        )
+        if old_rb is None:  # entry exists but holds zero files
+            cat.stage_cow("robots", new_rules_b, "host_bucket", None, snap)
+        else:
+            if "host_bucket" not in old_rb.columns:
+                old_rb = old_rb.withColumn("host_bucket", _hb)
+            cat.stage_cow(
+                "robots", old_rb.unionByName(new_rules_b), "host_bucket", None, snap
+            )
     else:
         # O(delta) append of this generation's newly fetched rules only
         cat.stage_append_cow("robots", new_rules_b, "host_bucket", snap)
