@@ -863,6 +863,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.substring("image_id", 14, 1) == "7", F.lit(_BOILER_CAPTION)
             ).otherwise(F.col("caption")),
         )
+        # cache the SYNTHESIZED input: the operator scans it once per
+        # derivation (phash drops, caption fp, caption simhash, final
+        # join) — cheap columnar rescans on a real parquet table, but
+        # here each rescan re-synthesizes 512 image payloads
+        from web_scraper_spark.functions.dedupops import register_op_cache
+
+        imgs = register_op_cache(imgs)
         return pairs_ops.pair_keep_ids(imgs)
 
     q["pair_keep_set"] = q_pair_keep_set
@@ -886,6 +893,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.substring("image_id", 14, 1) == "3", F.lit(_BOILER_CAPTION)
             ).otherwise(F.col("caption")),
         )
+        # pair_corpus_clean caches its scored survivors, but the filter
+        # itself would still re-synthesize per branch without this
+        from web_scraper_spark.functions.dedupops import register_op_cache
+
+        imgs = register_op_cache(imgs)
         return pairs_ops.pair_corpus_clean(imgs)
 
     q["pair_corpus_clean"] = q_pair_corpus_clean

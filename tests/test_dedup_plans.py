@@ -134,3 +134,38 @@ def test_corpus_clean_composite_plan(spark):
     assert "LeftAnti" in plan and "LeftSemi" in plan
     assert "InMemoryTableScan" in plan, plan[:500]
     spark.catalog.clearCache()
+
+
+def test_pair_keep_set_composite_plan(spark):
+    """The joint image+caption keep-set composes two banded self-joins
+    (phash bands, caption simhash bands) into an anti-join + semi-join on
+    image_id — no cartesian anywhere, band joins over cached kernels."""
+    from web_scraper_spark.operators import pairs as pairs_ops
+    from web_scraper_spark.synth import images_df
+
+    imgs = images_df(spark, 64, seed=42).select("image_id", "phash", "caption")
+    kept = pairs_ops.pair_keep_ids(imgs)
+    plan = audit.physical_plan(kept)
+    assert not audit.has_cartesian(kept)
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+    assert "InMemoryTableScan" in plan, plan[:500]
+    dedupops.unpersist_op_caches()
+    spark.catalog.clearCache()
+
+
+def test_incremental_keep_set_plan(spark):
+    """The incremental keep-set probes the old corpus only through
+    band-bucket equi-joins (fp semi-join + simhash band join) — no
+    cartesian, drops composed into one anti-join, signature kernels
+    cached (not recomputed per consumer)."""
+    rows_old = [(i, f"doc old {i} alpha beta gamma") for i in range(0, 40, 2)]
+    rows_new = [(i, f"doc new {i} delta epsilon zeta") for i in range(1, 40, 2)]
+    old = spark.createDataFrame(rows_old, "doc_id long, text string")
+    new = spark.createDataFrame(rows_new, "doc_id long, text string")
+    kept = dedupops.dedup_keep_ids_incremental(old, new, max_hamming=3)
+    plan = audit.physical_plan(kept)
+    assert not audit.has_cartesian(kept)
+    assert "LeftAnti" in plan
+    assert "InMemoryTableScan" in plan, plan[:500]
+    dedupops.unpersist_op_caches()
+    spark.catalog.clearCache()
