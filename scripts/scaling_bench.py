@@ -96,6 +96,9 @@ def run_level(cores: int, frontier: int, fetch: int, repeat: int, pin: bool = Fa
         WSS_BENCH_FRONTIER=str(frontier),
         WSS_BENCH_FETCH=str(fetch),
         SPARK_GRAFT_CPUS=str(cores),
+        # explicit, not via bench.py's import-time side effect: scaling
+        # numbers need the tmpfs scratch dir regardless of import order
+        WSS_SHM_LOCAL_DIR="1",
     )
     if submit_zip:
         # north-rule deployment shape: the SAME worker runs via

@@ -480,3 +480,34 @@ class TestSchemaGuard:
         assert rows["h0.test"]["fetch_seq"] == 7
         assert rows["h1.test"]["fetch_seq"] == 3
         assert robots.filter(F.col("fetch_seq").isNull()).count() == 0
+
+
+class TestRetentionManifestOrder:
+    def test_expire_sorts_manifests_numerically(self, spark, cat):
+        """Manifests are s{id:06d}.json — past id 999999 the name grows a
+        digit and lexicographic order INVERTS ('s1000000' < 's999999'),
+        which would make automated retention expire the newest snapshots.
+        The keep window must be numeric."""
+        cat.stage("t", df_of(spark, 3))
+        cat.commit(generation=0, t0=0.0)
+        snap = cat.current_snapshot()
+        # forge two high-id manifests around the rollover, newest = CURRENT
+        import json as _json
+
+        for sid in (999999, 1000000, 1000001):
+            d = _json.loads(snap.to_json())
+            d["snapshot_id"] = sid
+            with open(
+                os.path.join(cat._manifest_dir, f"s{sid:06d}.json"), "w"
+            ) as f:
+                f.write(_json.dumps(d))
+        with open(os.path.join(cat._manifest_dir, "CURRENT"), "w") as f:
+            f.write("s1000001.json")
+        cat.expire_snapshots(keep_last=2)
+        left = sorted(
+            f for f in os.listdir(cat._manifest_dir) if f.endswith(".json")
+        )
+        # numeric window: the two NEWEST ids survive; lexicographic order
+        # would instead have kept s999999 and dropped s1000001's sibling
+        assert "s1000000.json" in left and "s1000001.json" in left, left
+        assert "s999999.json" not in left, left

@@ -241,6 +241,27 @@ class TestDedup:
         want = {(0, 0), (1, 0), (2, 0), (3, 3), (4, 4), (5, 4), (6, 6), (7, 7)}
         assert got == want
 
+        # per-round checkpoint FILES are deleted once the next round is
+        # durable (Spark never deletes them itself by default): a long
+        # chain forces many rounds, yet only O(1) rdd-* dirs remain
+        import os as _os
+
+        chain_nodes = spark.createDataFrame([(i,) for i in range(24)], "id long")
+        chain_pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(23)], "src long, dst long"
+        )
+        out = connected_components(
+            chain_nodes, chain_pairs, max_iters=60, checkpoint_mode="reliable"
+        ).collect()
+        assert {r["cluster_id"] for r in out} == {0}
+        ckpt_root = str(tmp_path / "ckpt")
+        rdd_dirs = [
+            d
+            for sub in _os.listdir(ckpt_root)
+            for d in _os.listdir(_os.path.join(ckpt_root, sub))
+        ]
+        assert len(rdd_dirs) <= 3, rdd_dirs
+
     def test_minhash_candidates_are_true_pairs(self, docs):
         """LSH+verify output ⊆ exact output; recall reported not asserted
         (approximation contract)."""

@@ -427,9 +427,14 @@ class Catalog:
         cur = self.current_snapshot()
         if cur is None:
             return {"snapshots_removed": 0, "files_removed": 0}
+        # numeric sort: manifests are named s{id:06d}.json, so a plain
+        # lexicographic sort inverts the order past snapshot id 999999 —
+        # exactly the 10^6-generation scale automated retention targets —
+        # and would expire the NEWEST snapshots' files
         manifests = sorted(
-            f for f in os.listdir(self._manifest_dir)
-            if f.startswith("s") and f.endswith(".json")
+            (f for f in os.listdir(self._manifest_dir)
+             if f.startswith("s") and f.endswith(".json")),
+            key=lambda f: int(f[1:-5]),
         )
         keep = set(manifests[-keep_last:])
         keep.add(f"s{cur.snapshot_id:06d}.json")  # never drop CURRENT

@@ -292,6 +292,26 @@ def run_generation(
     # fetched. Falls back to a full read for a legacy lineage-less table.
     now = int(t0)
     robots_files = cat.bucket_files("robots", snap)
+    # distinct host buckets of this batch — shared by the robots bucket
+    # prune here and the host_state COW commit below (one collect job per
+    # generation, not two). Computed lazily: the legacy full-read path
+    # doesn't need it for robots, but host_state might later.
+    _batch_hb_cache: list[int] = []
+
+    def batch_host_buckets() -> list[int]:
+        if not _batch_hb_cache:
+            _batch_hb_cache.append(
+                sorted(
+                    int(r["hb"])
+                    for r in batch.select(
+                        host_bucket_expr(F.col("host"), cfg.num_host_buckets).alias("hb")
+                    )
+                    .distinct()
+                    .collect()
+                )
+            )
+        return _batch_hb_cache[0]
+
     if not robots_table_exists:
         robots = None
     elif robots_files is None:
@@ -299,15 +319,9 @@ def run_generation(
         if robots is not None and "host_bucket" in robots.columns:
             robots = robots.drop("host_bucket")
     else:
-        batch_hb = sorted(
-            int(r["hb"])
-            for r in batch.select(
-                host_bucket_expr(F.col("host"), cfg.num_host_buckets).alias("hb")
-            )
-            .distinct()
-            .collect()
-        )
-        rb_paths = [p for b in batch_hb for p in robots_files.get(str(b), [])]
+        rb_paths = [
+            p for b in batch_host_buckets() for p in robots_files.get(str(b), [])
+        ]
         robots = (
             spark.read.parquet(*rb_paths).drop("host_bucket") if rb_paths else None
         )
@@ -670,10 +684,9 @@ def run_generation(
         hs_updated = sched.fold_host_state(host_state, results, delta_only=True).cache()
         persists.append(hs_updated)
         # changed buckets = the batch hosts' buckets (every batch row lands
-        # in fetched/disallowed/failed, so touched hosts == batch hosts)
-        hs_changed = sorted(
-            {int(r["hb"]) for r in batch.select(_hb.alias("hb")).distinct().collect()}
-        )
+        # in fetched/disallowed/failed, so touched hosts == batch hosts);
+        # reuses the robots prune's collect when that path already ran
+        hs_changed = batch_host_buckets()
         # carry-forward INSIDE changed buckets: untouched hosts sharing a
         # bucket with a batch host, read from only those buckets' files
         hs_files = cat.bucket_files("host_state", snap)

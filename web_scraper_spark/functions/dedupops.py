@@ -566,13 +566,29 @@ def dedup_keep_ids(
     return docs.select(id_col).join(drops, id_col, "left_anti")
 
 
+def dedup_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, fp, sh) dedup index of a corpus: the 60-bit exact fingerprint
+    + the 60-bit simhash per doc. This is what a production pipeline
+    MATERIALIZES once per shipped batch (e.g. as a catalog table, one
+    stage_append per batch) and hands to dedup_keep_ids_incremental as
+    ``old_index`` — the shipped corpus's text is then never rescanned."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        md5_60_expr(F.col(text_col)).alias("fp"),
+        simhash_expr(F.col(text_col)).alias("sh"),
+    )
+
+
 def dedup_keep_ids_incremental(
-    old_docs: DataFrame,
+    old_docs: DataFrame | None,
     new_docs: DataFrame,
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_bands: int = 4,
+    old_index: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental keep-set — the 'train on new data only' composite:
     given an already-deduped OLD corpus (survivors of prior batches; pair
@@ -587,15 +603,23 @@ def dedup_keep_ids_incremental(
     equals dedup_keep_ids(old ∪ new) restricted to the new ids (pinned by
     a property test).
 
-    Scale shape: the old corpus contributes only its (id, fp/simhash)
-    index — at 10^10 docs that index is materialized once and appended
-    per batch, never rescanned as text; per-batch cost is O(new × bands)
-    plus the band-bucket probes into the index. Both self/cross joins are
-    band-bucket equi-joins, never O(n²)."""
+    The old corpus enters ONLY as its (id, fp, sh) index. Pass
+    ``old_index`` (a materialized dedup_index table — the production
+    shape) and old text is never touched; per-batch cost is then
+    O(new × bands) plus band-bucket probes into the index. Passing raw
+    ``old_docs`` instead computes the index inline — one full scan +
+    hash of the old text PER CALL, fine for tests/one-offs but quadratic
+    over a crawl that calls this every generation: materialize the index.
+    Both self/cross joins are band-bucket equi-joins, never O(n²)."""
+    if old_index is None:
+        if old_docs is None:
+            raise ValueError("pass old_docs or old_index")
+        old_index = dedup_index(old_docs, id_col=id_col, text_col=text_col)
+    old_index = register_op_cache(old_index)
     fp_new = register_op_cache(
         new_docs.select(F.col(id_col), md5_60_expr(F.col(text_col)).alias("fp"))
     )
-    fp_old = old_docs.select(md5_60_expr(F.col(text_col)).alias("fp"))
+    fp_old = old_index.select("fp")
     drops = fp_new.join(fp_old, "fp", "left_semi").select(id_col)
     keep_first = fp_new.groupBy("fp").agg(F.min(id_col).alias("_k"))
     drops = drops.unionByName(
@@ -608,15 +632,6 @@ def dedup_keep_ids_incremental(
         assert SIMHASH_BITS % n_bands == 0, f"n_bands must divide {SIMHASH_BITS}"
         band_w = SIMHASH_BITS // n_bands
         mask = (1 << band_w) - 1
-
-        def sig(docs, tag):
-            return register_op_cache(
-                docs.select(
-                    F.col(id_col).alias("id"),
-                    simhash_expr(F.col(text_col)).alias("sh"),
-                    F.lit(tag).alias("src"),
-                )
-            )
 
         def bands_of(s):
             return s.select(
@@ -639,8 +654,14 @@ def dedup_keep_ids_incremental(
                 F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"),
             )
 
-        new_sig = sig(new_docs, "new")
-        old_sig = sig(old_docs, "old")
+        new_sig = register_op_cache(
+            new_docs.select(
+                F.col(id_col).alias("id"),
+                simhash_expr(F.col(text_col)).alias("sh"),
+                F.lit("new").alias("src"),
+            )
+        )
+        old_sig = old_index.select("id", "sh", F.lit("old").alias("src"))
         probe = bands_of(new_sig).select(
             F.col("id").alias("nid"), F.col("sh").alias("nsh"), "band", "bv"
         )
@@ -731,6 +752,35 @@ def _free_local_checkpoint(df: DataFrame) -> None:
                 "localCheckpoint block free fell back to ContextCleaner GC "
                 "(Catalyst internals moved?); checkpoint blocks of iterative "
                 "operators now leak until GC"
+            )
+
+
+def _free_reliable_checkpoint(df: DataFrame) -> None:
+    """Delete a reliable checkpoint()'s FILES now. Spark never deletes
+    them by default (only with spark.cleaner.referenceTracking.
+    cleanCheckpoints=true, and then only after the RDD is GC'd), so an
+    iterative operator would otherwise leave one full copy of its working
+    set in the fault-tolerant checkpoint dir PER ROUND for the life of
+    the application. ONLY call once a LATER round's checkpoint is durable
+    — the freed frame is no longer recoverable."""
+    global _FREE_FALLBACK_LOGGED
+    try:
+        rdd = df._jdf.queryExecution().logical().rdd()
+        opt = rdd.getCheckpointFile()
+        rdd.unpersist(True)
+        if opt.isDefined():
+            sc = df.sparkSession.sparkContext
+            hpath = sc._jvm.org.apache.hadoop.fs.Path(opt.get())
+            fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+            fs.delete(hpath, True)
+    except Exception:
+        if not _FREE_FALLBACK_LOGGED:
+            _FREE_FALLBACK_LOGGED = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "reliable-checkpoint file free failed (internals moved?); "
+                "checkpoint files of iterative operators now accumulate"
             )
 
 
@@ -825,9 +875,13 @@ def connected_components(
         new = _cut(new)
         changed = new.agg(F.sum("chg")).collect()[0][0]
         # the previous round's labels are never read again — release their
-        # checkpoint blocks immediately (plain unpersist() is a no-op on
-        # checkpointed frames, see _free_local_checkpoint)
-        _free_local_checkpoint(labels_ck)
+        # checkpoint blocks (local) / files (reliable) immediately: plain
+        # unpersist() is a no-op on checkpointed frames, and Spark never
+        # auto-deletes reliable checkpoint files
+        if checkpoint_mode == "reliable":
+            _free_reliable_checkpoint(labels_ck)
+        else:
+            _free_local_checkpoint(labels_ck)
         labels_ck = new
         labels = new.drop("chg")
         if not changed:

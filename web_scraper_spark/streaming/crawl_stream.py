@@ -88,7 +88,14 @@ from .politeness import politeness_gate
 FRONTIER_STREAM_SCHEMA = "url string, priority int, event_time double, attempt int"
 
 # what _pages writes to the pages sink (response_ms rides along so the sink
-# doubles as the AIMD feedback source — see pages_feedback_stream)
+# doubles as the AIMD feedback source — see pages_feedback_stream).
+# UPGRADE NOTE: response_ms is new in this schema. A pages_dir written by
+# an earlier build holds part files WITHOUT the column; resuming the same
+# sink dir makes it mixed-schema, and a bare spark.read.parquet(dir) then
+# sees response_ms or not depending on which file it samples. Readers of
+# an upgraded-in-place dir should pass .schema(PAGES_SINK_SCHEMA) (missing
+# columns read back as null — pages_feedback_stream already does) or
+# .option("mergeSchema", "true"); fresh sinks are unaffected.
 PAGES_SINK_SCHEMA = (
     "url string, host string, priority int, fetch_time double, status int, "
     "response_ms int, content_size long, title string, description string, "
