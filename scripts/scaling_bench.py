@@ -29,36 +29,7 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-WORKER = r"""
-import json, os, sys, time
-if not os.environ.get("WSS_VIA_SUBMIT"):
-    # plain-python mode: the repo supplies the code. Under spark-submit the
-    # --py-files zip must be the ONLY source of the package (north-rule
-    # deployment shape) — no path insert, so a missing zip fails loudly.
-    sys.path.insert(0, os.environ["WSS_REPO"])
-from web_scraper_spark.session import get_spark
-import bench
-
-cores = int(os.environ["WSS_CORES"])
-repeat = int(os.environ["WSS_REPEAT"])
-spark = get_spark(f"scaling-{cores}", cores=cores, shuffle_partitions=cores * 2)
-res = {"cores": cores}
-for name, fn in [
-    ("fetch_extract", bench.bench_crawl_fetch_extract),
-    ("dedup_admission", bench.bench_crawl_generation),
-]:
-    fn(spark)  # warmup (JIT + codegen + python worker spin-up)
-    best = None
-    for _ in range(repeat):
-        t0 = time.perf_counter()
-        n = fn(spark)
-        dt = time.perf_counter() - t0
-        best = dt if best is None or dt < best else best
-    res[name] = {"sec": best, "rows": n}
-print("WSS_RESULT " + json.dumps(res))
-spark.stop()
-"""
+WORKER_PY = os.path.join(REPO, "scripts", "scaling_worker.py")
 
 
 def build_pyfiles_zip() -> str:
@@ -69,11 +40,10 @@ def build_pyfiles_zip() -> str:
     the driver and in every Python UDF worker — the exact artifact a real
     multi-executor cluster submit would ship.
     """
+    import tempfile
     import zipfile
 
-    tmp_root = os.path.join(REPO, ".tmp")
-    os.makedirs(tmp_root, exist_ok=True)
-    zpath = os.path.join(tmp_root, "wss_pyfiles.zip")
+    zpath = os.path.join(tempfile.mkdtemp(prefix="wss-pyfiles-"), "wss_pyfiles.zip")
     with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
         pkg = os.path.join(REPO, "web_scraper_spark")
         for dirpath, dirnames, filenames in os.walk(pkg):
@@ -108,18 +78,15 @@ def run_level(cores: int, frontier: int, fetch: int, repeat: int, pin: bool = Fa
         # (the JVM pre-exists when the builder runs); every other conf in
         # session.get_spark applies at context creation and carries over.
         env["WSS_VIA_SUBMIT"] = "1"
-        worker_py = os.path.join(REPO, ".tmp", "scaling_worker.py")
-        with open(worker_py, "w") as f:
-            f.write(WORKER)
         cmd = [
             "spark-submit",
             "--master", f"local[{cores}]",
             "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "48g"),
             "--py-files", submit_zip,
-            worker_py,
+            WORKER_PY,
         ]
     else:
-        cmd = [sys.executable, "-c", WORKER]
+        cmd = [sys.executable, WORKER_PY]
     if pin:
         # confine the WHOLE process tree (JVM task threads + forked Python
         # workers, which inherit affinity) to exactly `cores` physical
