@@ -567,7 +567,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ngram_jaccard_pairs"] = lambda s, d: dedupops.ngram_jaccard_pairs(
         _docs(s, d), threshold=0.12, n=8
     )
-    q["minhash_lsh_pairs"] = lambda s, d: dedupops.minhash_lsh_pairs(  # no oracle: LSH recall < 1
+    # fully value-oracled since the band key became md5-60 (r4 verdict
+    # item 2a): recall < 1 is still the operator's contract, but the pair
+    # set it emits is deterministic and the oracle replays the identical
+    # signature→band→verify pipeline in SQL
+    q["minhash_lsh_pairs"] = lambda s, d: dedupops.minhash_lsh_pairs(
         _docs(s, d), threshold=0.12, n=8
     )
 
@@ -668,8 +672,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_brute_topk"] = q_ann_brute_topk
 
-    def q_ann_lsh_topk(spark, sf_dir):  # no oracle: approximate by design
-        e = _emb(spark, sf_dir)
+    def q_ann_lsh_topk(spark, sf_dir):
+        """Approximate top-k via random-hyperplane LSH — FULLY value-
+        oracled (r4 verdict item 2b) even though recall < 1: the planes
+        are md5-seeded constants inlined into the DuckDB twin, and bucket
+        bits come from the round(dot, 6)-then-sign rule in both engines,
+        so the approximation itself is deterministic and checkable."""
+        e = _emb(spark, sf_dir).withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
         qs = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
         )
@@ -677,14 +688,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk"] = q_ann_lsh_topk
 
-    def q_ann_ivf_topk(spark, sf_dir):  # no oracle: approximate by design
-        """IVF ANN: deterministic k-means inverted file, n_probe nearest
-        clusters exactly ranked — the second scale path next to LSH."""
-        e = _emb(spark, sf_dir)
+    def q_ann_ivf_topk(spark, sf_dir):
+        """IVF ANN, seed-quantizer variant (iters=0: centroids are the
+        md5-smallest corpus vectors — pure data selection, no float
+        averaging), n_probe nearest clusters exactly ranked, all in
+        DataFrame ops (ivf_topk_distributed — the query table is never
+        collected). FULLY value-oracled: cluster assignment and probe
+        choice use the round(cosine, 6)-then-argmax rule both engines
+        replay. The Lloyd-refined k-means path (iters > 0) stays
+        available and is pinned in pytest; its float-sum-order-dependent
+        centroids are the one part a cross-engine oracle cannot pin."""
+        e = _emb(spark, sf_dir).withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
         qs = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
         )
-        return simsearch.ivf_topk(e, qs, k=5, n_clusters=16, n_probe=4, iters=2)
+        return simsearch.ivf_topk_distributed(
+            e, qs, k=5, n_clusters=16, n_probe=4, iters=0
+        )
 
     q["ann_ivf_topk"] = q_ann_ivf_topk
 
@@ -1286,6 +1308,7 @@ FROM sh s, (SELECT unnest(generate_series(0, {dedupops.MINHASH_PERMS - 1})) AS p
 GROUP BY 1, 2
 """
     o["ngram_jaccard_pairs"] = dedupops.ngram_jaccard_pairs_sql(threshold=0.12, n=8)
+    o["minhash_lsh_pairs"] = dedupops.minhash_lsh_pairs_sql(threshold=0.12, n=8)
 
     sig_sql = (
         "("
@@ -1464,6 +1487,11 @@ GROUP BY 1, 2
              CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
       FROM scored QUALIFY rank <= 5
     """
+
+    o["ann_lsh_topk"] = simsearch.lsh_topk_sql([0, 1, 2], k=5, n_planes=6, dim=64)
+    o["ann_ivf_topk"] = simsearch.ivf_flat_topk_sql(
+        [0, 1, 2], k=5, n_clusters=16, n_probe=4
+    )
 
     # ---------------- multimodal stubs, fully value-oracled: the decode is
     # a DISCLOSED stub (multimodal.py), but its deterministic md5 fakes are

@@ -337,6 +337,14 @@ def minhash_lsh_pairs(
     surviving candidate side. band/rows-per-band are parameters: at 10^9+
     docs, more/narrower bands keep recall while wider band hashes keep each
     bucket's fan-out sub-quadratic (see test_pipeline_ops growth test).
+
+    The band hash is md5-60 of the band's comma-joined signature values —
+    NOT Spark's murmur3 F.hash — so the WHOLE operator (signatures →
+    banding → candidate join → exact-Jaccard verify) is re-derivable in
+    ANSI SQL: minhash_lsh_pairs_sql builds the DuckDB twin, turning this
+    from a rows-only approximate query into a full value oracle. Banding
+    recall < 1 stays (that is the LSH deal, ~1-(1-J^r)^b); determinism of
+    WHICH pairs survive is what the hash choice buys.
     """
     assert perms % bands == 0, "perms must divide evenly into bands"
     # `base` feeds the band explode AND both shingle re-attach sides, and
@@ -364,7 +372,18 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.hash(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("bh"),
+                        # md5-60 of 'v0,v1,...' — SQL-mirrorable band key
+                        # (values are % 2^31-1, so the cast text has no
+                        # sign/locale surprises in either engine)
+                        md5_60_expr(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bh"),
                     )
                     for b in range(bands)
                 ]
@@ -394,6 +413,60 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def minhash_lsh_pairs_sql(
+    threshold: float = 0.5,
+    n: int = 8,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+) -> str:
+    """DuckDB ground truth for minhash_lsh_pairs — the SAME pipeline, not
+    an exact-Jaccard reference: per-(doc, perm) Carter-Wegman minhashes
+    (minhash_term_sql), band keys = md5-60 of the perm-ordered
+    comma-joined band values, band-bucket self-join, then exact-Jaccard
+    verification of the candidates via list_intersect. Because every stage
+    is deterministic, the emitted pair set (recall < 1 included) matches
+    the Spark operator value-for-value."""
+    rows_per_band = perms // bands
+    mh = minhash_term_sql("p.perm", "e.g")
+    sh = shingles_sql(text_col, n)
+    return f"""
+WITH sized AS (
+  SELECT {id_col} AS id, sh, len(sh) AS n_sh
+  FROM (SELECT {id_col}, {sh} AS sh FROM {table})
+), ex AS (
+  SELECT id, unnest(sh) AS g FROM sized
+), sig AS (
+  SELECT e.id, p.perm, min({mh}) AS mh
+  FROM ex e, (SELECT unnest(generate_series(0, {perms - 1})) AS perm) p
+  GROUP BY 1, 2
+), bandv AS (
+  SELECT id, perm // {rows_per_band} AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm) AS bv
+  FROM sig GROUP BY 1, 2
+), banded AS (
+  SELECT id, band, {md5_60_sql('bv')} AS bh FROM bandv
+), cand AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+), verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.sh, sb.sh)) AS common,
+         sa.n_sh AS na, sb.n_sh AS nb
+  FROM cand c
+  JOIN sized sa ON sa.id = c.doc_a
+  JOIN sized sb ON sb.id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
+FROM verified
+WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6) >= {threshold}
+"""
 
 
 # --------------------------------------------------------------------------

@@ -277,15 +277,33 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id: bit p = 1 iff dot(vec, plane_p) > 0."""
+    """Sign-bit bucket id: bit p = 1 iff round(dot(vec, plane_p), 6) > 0.
+
+    The sign test runs on the ROUNDED dot product — the engine-wide rule
+    for similarity comparisons that pick buckets/clusters/ranks — so a SQL
+    twin (lsh_bucket_sql: the same literal planes, the same left-assoc
+    sum) assigns bit-identical buckets and the whole approximate operator
+    becomes value-oracled despite recall < 1."""
     bits = []
     for p, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(x) for x in plane])
-        bits.append(F.when(dot_expr(vec, lit_plane) > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        d = F.round(dot_expr(vec, lit_plane), 6)
+        bits.append(F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0)))
     out = bits[0]
     for b in bits[1:]:
         out = out + b
     return out.cast("int")
+
+
+def lsh_bucket_sql(vec: str, planes: list[list[float]]) -> str:
+    """DuckDB twin of lsh_bucket_expr over a DOUBLE[] column: per plane an
+    unrolled left-assoc sum of products (same op order as the Spark fold,
+    so bit-identical before the round)."""
+    bits = []
+    for p, plane in enumerate(planes):
+        dot = " + ".join(f"{vec}[{i + 1}] * {w!r}" for i, w in enumerate(plane))
+        bits.append(f"(CASE WHEN round({dot}, 6) > 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST((" + " + ".join(bits) + ") AS INTEGER)"
 
 
 def lsh_topk(
@@ -330,6 +348,49 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def lsh_topk_sql(
+    q_ids: list[int],
+    k: int = 10,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB ground truth for lsh_topk (multiprobe) — the SAME pipeline:
+    the identical md5-seeded planes are inlined as literals (they are
+    constants, not data), buckets re-derived with lsh_bucket_sql (sign of
+    the ROUNDED left-assoc dot — bit-identical to the Spark fold), probes
+    = own bucket + every hamming-1 neighbor, candidates exact-ranked. The
+    pair of queries is therefore a full value oracle over an approximate
+    operator: recall < 1, but deterministically so."""
+    planes = _planes(dim, n_planes, seed)
+    bucket = lsh_bucket_sql("embedding", planes)
+    ids = ", ".join(str(i) for i in q_ids)
+    probe_list = ", ".join(["qb"] + [f"xor(qb, {1 << p})" for p in range(n_planes)])
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS vec_id, CAST({vec_col} AS DOUBLE[]) AS embedding FROM {table}
+), b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM d
+), q0 AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, {bucket} AS qb
+  FROM d WHERE vec_id IN ({ids})
+), probes AS (
+  SELECT q_id, q_vec, unnest([{probe_list}]) AS bucket FROM q0
+), scored AS (
+  SELECT DISTINCT p.q_id, c.vec_id,
+         round(list_cosine_similarity(c.embedding, p.q_vec), 6) AS cosine
+  FROM b c JOIN probes p USING (bucket)
+)
+SELECT q_id, vec_id, cosine,
+       CAST(row_number() OVER (
+         PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+FROM scored QUALIFY rank <= {k}
+"""
+
+
 # --------------------------------------------------------------------------
 # IVF (inverted-file index over deterministic k-means clusters)
 # --------------------------------------------------------------------------
@@ -340,8 +401,13 @@ def _centroid_lit(c: list[float]) -> Column:
 
 
 def nearest_centroid_expr(vec: Column, centroids: list[list[float]]) -> Column:
-    """0-based index of the max-cosine centroid (ties → lowest index)."""
-    sims = F.array(*[cosine_expr(vec, _centroid_lit(c)) for c in centroids])
+    """0-based index of the max-cosine centroid (ties → lowest index).
+    Similarities are ROUNDED to 6 decimals before the argmax (the same
+    engine-wide rule as lsh_bucket_expr) so a SQL oracle replaying the
+    assignment over the same centroid literals picks the same cluster."""
+    sims = F.array(
+        *[F.round(cosine_expr(vec, _centroid_lit(c)), 6) for c in centroids]
+    )
     return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
 
@@ -427,7 +493,8 @@ def ivf_topk(
     probe_rows = []
     for r in qrows:
         qv = np.array(list(r[q_vec_col]), dtype=np.float64)
-        sims = cents @ qv / (cnorm * np.linalg.norm(qv) + 1e-30)
+        # same round-before-compare rule as nearest_centroid_expr
+        sims = np.round(cents @ qv / (cnorm * np.linalg.norm(qv) + 1e-30), 6)
         order = sorted(range(len(centroids)), key=lambda i: (-sims[i], i))
         for cl in order[: n_probe]:
             probe_rows.append((r[q_id_col], list(r[q_vec_col]), int(cl)))
@@ -488,7 +555,9 @@ def ivf_topk_distributed(
         F.col(vec_col),
         nearest_centroid_expr(F.col(vec_col), centroids).alias("cluster"),
     )
-    sims = F.array(*[cosine_expr(F.col(q_vec_col), _centroid_lit(ct)) for ct in centroids])
+    sims = F.array(
+        *[F.round(cosine_expr(F.col(q_vec_col), _centroid_lit(ct)), 6) for ct in centroids]
+    )
     exploded = queries.select(
         F.col(q_id_col),
         F.col(q_vec_col),
@@ -508,3 +577,65 @@ def ivf_topk_distributed(
     )
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_flat_topk_sql(
+    q_ids: list[int],
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB ground truth for the SEED-QUANTIZER IVF (ivf_topk /
+    ivf_topk_distributed with iters=0): centroids = the n_clusters corpus
+    vectors with the smallest (md5(id-as-text), id-as-text) — pure data
+    selection, no float averaging, which is what makes the index
+    re-derivable in SQL (Lloyd-refined centroids are float-sum-order
+    dependent and stay a pytest-only contract). Assignment and probe
+    selection replay the round(cosine, 6)-then-argmax rule (ties → lowest
+    centroid index), then candidates are exact-ranked — a full value
+    oracle over an approximate index."""
+    ids = ", ".join(str(i) for i in q_ids)
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS vec_id, CAST({vec_col} AS DOUBLE[]) AS embedding FROM {table}
+), cent AS (
+  SELECT row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+         ) - 1 AS ci,
+         embedding AS cvec
+  FROM d
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+  LIMIT {n_clusters}
+), asgn AS (
+  SELECT vec_id, embedding, ci AS cluster FROM (
+    SELECT e.vec_id, e.embedding, c.ci,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding, c.cvec), 6) DESC,
+                      c.ci ASC) AS rn
+    FROM d e CROSS JOIN cent c
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM d WHERE vec_id IN ({ids})
+), probes AS (
+  SELECT q_id, q_vec, ci AS cluster FROM (
+    SELECT q.q_id, q.q_vec, c.ci,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY round(list_cosine_similarity(q.q_vec, c.cvec), 6) DESC,
+                      c.ci ASC) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {n_probe}
+), scored AS (
+  SELECT p.q_id, a.vec_id,
+         round(list_cosine_similarity(a.embedding, p.q_vec), 6) AS cosine
+  FROM asgn a JOIN probes p USING (cluster)
+)
+SELECT q_id, vec_id, cosine,
+       CAST(row_number() OVER (
+         PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+FROM scored QUALIFY rank <= {k}
+"""

@@ -172,11 +172,17 @@ def filter_unseen_files(
     - per-shard file counts are bounded by the compaction cadence
       (stage_append_cow ≈ 1 file/touched shard/generation, rewritten
       every compact_every generations);
-    - the per-shard manifest paths ride the COGROUP SIDE as a joined
-      column (control metadata as data), so each task deserializes only
-      ITS shard's path list — nothing shard-global ships in the task
-      closure (at 4096 shards x many files the full dict was real
-      per-task serialization weight, r3 verdict "what's wrong" #5).
+    - the per-shard manifest paths ride the COGROUP SIDE as data rows
+      (control metadata as data), so each task deserializes only ITS
+      shard's path list — nothing shard-global ships in the task closure
+      (at 4096 shards x many files the full dict was real per-task
+      serialization weight, r3 verdict "what's wrong" #5). The side is a
+      UNION of (shard, bloom) sketch rows with (shard, _paths) path rows
+      — one narrow frame into the cogroup's single exchange. The r4 shape
+      (sketch_df ⟗ paths_df full_outer PER CALL) shuffled+sorted the
+      whole sketch table — cuckoo bytes included, which the probe never
+      reads — before the cogroup shuffled it again (the r4 verdict's
+      +10% quiet-box cost on seen_bucketed_dedup).
 
     Correctness never depends on a sketch: with sketch_df=None every row
     is treated as "maybe" and verified against the files.
@@ -199,9 +205,19 @@ def filter_unseen_files(
     cols = [f.name for f in candidates.schema.fields]
     paths_rows = [(int(k), list(map(str, v))) for k, v in bucket_files.items()]
     paths_df = spark.createDataFrame(paths_rows, "shard int, _paths array<string>")
-    # one row per shard carrying (bloom?, paths?) — the outer join keeps
-    # shards that have files but no sketch row and vice versa
-    side = sketch_df.join(paths_df, "shard", "full_outer")
+    # up to two rows per shard — (shard, bloom, null) from the sketch table
+    # and (shard, null, paths) from the manifest — concatenated with a
+    # zero-shuffle union; the cogroup's exchange-by-shard brings a shard's
+    # rows together. Only the bloom column ships (the probe never reads
+    # cuckoo/n, and the old full_outer join paid a whole extra
+    # shuffle+sort of the sketch table per call).
+    side = sketch_df.select(
+        "shard", "bloom", F.lit(None).cast("array<string>").alias("_paths")
+    ).unionByName(
+        paths_df.select(
+            "shard", F.lit(None).cast("binary").alias("bloom"), "_paths"
+        )
+    )
 
     def probe(key, cand_pdf: pd.DataFrame, sk_pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -212,9 +228,10 @@ def filter_unseen_files(
         if sk_pdf.empty:
             # shard never written (no sketch row AND no files) -> all new
             return cand
-        bloom_cell = sk_pdf["bloom"].iloc[0] if "bloom" in sk_pdf.columns else None
+        blooms = sk_pdf["bloom"].dropna()
+        bloom_cell = blooms.iloc[0] if len(blooms) else None
         if have_sketch:
-            if bloom_cell is None or (np.isscalar(bloom_cell) and pd.isna(bloom_cell)):
+            if bloom_cell is None:
                 # sketch exists for the table but this shard was never
                 # inserted -> certainly new (matches the sketch's contract)
                 return cand
@@ -224,8 +241,9 @@ def filter_unseen_files(
             maybe = np.ones(len(cand), dtype=bool)
         if not maybe.any():
             return cand
-        paths = sk_pdf["_paths"].iloc[0] if "_paths" in sk_pdf.columns else None
-        if paths is None or (np.isscalar(paths) and pd.isna(paths)) or len(paths) == 0:
+        path_cells = sk_pdf["_paths"].dropna()
+        paths = path_cells.iloc[0] if len(path_cells) else None
+        if paths is None or len(paths) == 0:
             return cand
         tables = [pq.read_table(p, columns=["url_sha1"]) for p in paths]
         seen_keys = pa.concat_tables(tables).column("url_sha1")
