@@ -787,6 +787,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_smoke"] = q_crawl_smoke
 
+    def q_crawl_dedup_incremental(spark, sf_dir):
+        """'Train on new data only' ON REAL CRAWL OUTPUT (r4 verdict item
+        1): phase A crawls a 2-host synthetic web to drain — the engine
+        maintains the ``dedup_index`` table per generation
+        (cfg.maintain_dedup_index) — then phase B reseeds two more hosts
+        and resumes to drain. The new batch = Catalog.read_incremental
+        ("pages", S1) (manifest file-diff, only phase-B files opened);
+        the keep-set = dedup_keep_ids_incremental(old_index=
+        dedup_index@S1) — phase A's page CONTENT is never rescanned, only
+        its materialized (id, fp, sh) index rows. The 404 bodies phase B
+        shares with phase A make the old-wins exact-drop path provably
+        fire; duplicate 404s within phase B fire the new-new keep-first
+        path. Value-oracled: the expected keep set is re-derived WITHOUT
+        the engine — a sequential pure-python crawl closure (synth pages +
+        the package's own sequential parse/canonicalize/robots kernels,
+        the image-oracle precedent) inlined as VALUES, deduped in SQL by
+        the same fp/simhash rules."""
+        import atexit
+        import shutil
+        import tempfile
+
+        from web_scraper_spark import synth
+        from web_scraper_spark.config import CrawlConfig
+        from web_scraper_spark.crawl import reseed_crawl, resume_crawl, run_crawl
+
+        web_a = synth.SynthWebConfig(**_INC_WEB_A)
+        web_b = synth.SynthWebConfig(**_INC_WEB_B)
+        # max_pages=0 = unlimited: the budget admission cut would otherwise
+        # route every generation through the two-phase global rank; a
+        # drain crawl needs no budget. horizon 60 ≫ max per-host delay ×
+        # pages/host, so each generation admits every known page of a host
+        # and the crawl drains in ~BFS-depth generations.
+        cfg = CrawlConfig(
+            max_pages=0, max_depth=64, horizon=60.0,
+            num_shards=8, num_host_buckets=8,
+        )
+        root = tempfile.mkdtemp(prefix="wss_inc_", dir="/tmp")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        seeds_a = spark.createDataFrame(
+            [(u, 1) for u in _INC_SEEDS_A], ["url", "priority"]
+        )
+        cat = run_crawl(spark, root, seeds_a, cfg, web_a, max_generations=40)
+        s1 = cat.current_snapshot()
+        seeds_b = spark.createDataFrame(
+            [(u, 1) for u in _INC_SEEDS_B], ["url", "priority"]
+        )
+        reseed_crawl(cat, seeds_b, cfg)
+        resume_crawl(cat, cfg, web_b, max_generations=40)
+        new_pages = cat.read_incremental("pages", s1)
+        old_index = cat.read("dedup_index", s1)
+        new_docs = new_pages.select(
+            F.col("url"), F.col("content").cast("string").alias("text")
+        )
+        return dedupops.dedup_keep_ids_incremental(
+            None, new_docs, max_hamming=3, id_col="url", old_index=old_index
+        )
+
+    q["crawl_dedup_incremental"] = q_crawl_dedup_incremental
+
     def q_image_invariants(spark, sf_dir):
         """input_hint table → decode + phash recompute (must match stored)."""
         from web_scraper_spark import synth
@@ -924,33 +983,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pair_corpus_clean"] = q_pair_corpus_clean
 
-    def _clips(spark, n=64):
-        # deterministic fake clip table: the decode step is a DISCLOSED
-        # stub (no codec libs in this sandbox — multimodal.py), so bytes
-        # only need to be stable, not decodable
-        return spark.range(0, n).select(
-            F.concat(F.lit("clip"), F.col("id").cast("string")).alias("clip_id"),
-            F.unhex(F.md5(F.col("id").cast("string"))).alias("bytes"),
-        )
-
     def q_video_frames(spark, sf_dir):
-        """Multimodal video plumbing, rows-only: clips → frame sampler
-        (mapInPandas explode shape: one row per sampled frame, typed
-        frame_phash). Decode itself is the disclosed stub; the Spark-side
-        contract (schema, Arrow batching, explode fan-out, determinism
-        under partitioning) is what this exercises."""
+        """Multimodal video: synthesized QV01 clips → REAL container
+        parse + qdct frame decode + per-frame phash inside mapInPandas
+        (r4 verdict item 5 — the video stub is gone for the engine's own
+        container; only foreign codecs remain disclosed fakes).
+        Value-oracled: the oracle re-decodes the same deterministic clip
+        bytes sequentially (synth.videos_pdf + decode_qvid_frames) and
+        inlines the expected (clip_id, frame_idx, frame_phash) rows."""
+        from web_scraper_spark import synth
         from web_scraper_spark.functions import multimodal
 
-        return multimodal.video_frame_sample(_clips(spark), every_n=10)
+        return multimodal.video_frame_sample(
+            synth.video_clips_df(spark, 48, seed=42), every_n=3
+        )
 
     q["video_frames"] = q_video_frames
 
+    def q_frame_neardup(spark, sf_dir):
+        """Cross-modal reuse of the J6 phash band join: sampled video
+        frames (REAL decode, see video_frames) flow straight into
+        pairs.neardup_image_pairs keyed by clip#frame — in-clip frame
+        redundancy and the synth corpus's duplicated clips both surface as
+        near-dup pairs. Pigeonhole-exact, so the pair set is value-oracled
+        against an all-pairs SQL join over sequentially re-derived frame
+        phashes."""
+        from web_scraper_spark import synth
+        from web_scraper_spark.functions import multimodal
+        from web_scraper_spark.operators import pairs as pairs_ops
+
+        frames = multimodal.video_frame_sample(
+            synth.video_clips_df(spark, 48, seed=42), every_n=3
+        )
+        keyed = frames.select(
+            F.concat(
+                "clip_id", F.lit("#"), F.lpad(F.col("frame_idx").cast("string"), 3, "0")
+            ).alias("image_id"),
+            F.col("frame_phash").alias("phash"),
+        )
+        return pairs_ops.neardup_image_pairs(keyed, max_hamming=3).select(
+            F.col("img_a").alias("frame_a"),
+            F.col("img_b").alias("frame_b"),
+            "hamming",
+        )
+
+    q["frame_neardup"] = q_frame_neardup
+
     def q_audio_feats(spark, sf_dir):
-        """Multimodal audio plumbing, rows-only: clips → per-clip feature
-        row (duration/rms/sample_rate) via mapInPandas; decode stubbed."""
+        """Multimodal audio: synthesized PCM WAV clips → REAL stdlib-wave
+        decode inside mapInPandas (r4 verdict item 4 — the stub is gone
+        for fmt='wav'; only foreign codecs remain disclosed fakes).
+        Value-oracled: the oracle re-decodes the same deterministic WAV
+        bytes sequentially (synth.audio_pdf + multimodal.decode_wav, the
+        image-oracle pattern) and inlines the expected feature rows."""
+        from web_scraper_spark import synth
         from web_scraper_spark.functions import multimodal
 
-        return multimodal.audio_features(_clips(spark))
+        return multimodal.audio_features(synth.audio_clips_df(spark, 64, seed=42))
 
     q["audio_feats"] = q_audio_feats
 
@@ -983,6 +1072,113 @@ def _image_phash_values(n: int, seed: int) -> str:
 
 
 _BOILER_CAPTION = "stock photo of a sunset over the ocean"
+
+# crawl_dedup_incremental corpus: phase A crawls a 2-host web (links can
+# only target hosts 0-1 — _out_links buckets by cfg.n_hosts), phase B
+# resumes the SAME catalog against the 4-host web with hosts 2-3 seeded,
+# so phase B's pages are guaranteed non-empty and disjoint from phase A's.
+_INC_WEB_A = dict(n_hosts=2, pages_per_host=4)
+_INC_WEB_B = dict(n_hosts=4, pages_per_host=4)
+_INC_SEEDS_A = ["http://h0.example.test/p/0", "http://h1.example.test/p/0"]
+_INC_SEEDS_B = ["http://h2.example.test/p/0", "http://h3.example.test/p/0"]
+
+
+def _crawl_closure(seeds, web, blocked) -> dict[str, str]:
+    """Sequential pure-python derivation of a drained crawl's fetched set:
+    {url: page text}. BFS over the synthetic web reusing the package's own
+    single-process kernels (htmlparse.parse_document, urlops.
+    canonicalize_series, robots is_allowed_py) — the same independent-
+    sequential-derivation pattern as the image oracles: no Spark, no
+    scheduler, no catalog, so it checks the distributed crawl loop (seen
+    gating, politeness batching, robots pruning, snapshot commits,
+    incremental reads) against a 30-line reference walk. Valid whenever
+    depth/page budgets don't bind (the entry query sizes them so): a
+    drained crawl's fetched SET is schedule-invariant."""
+    import pandas as pd
+
+    from web_scraper_spark import synth
+    from web_scraper_spark.functions import htmlparse
+    from web_scraper_spark.functions.urlops import canonicalize_series
+    from web_scraper_spark.operators.robots import is_allowed_py, parse_robots_body
+
+    rules: dict[str, tuple[list[str], list[str]]] = {}
+
+    def allowed(url: str) -> bool:
+        rest = url.split("://", 1)[1]
+        host = rest.split("/", 1)[0]
+        if host not in rules:
+            body = synth.robots_body(host, web)
+            rules[host] = (
+                parse_robots_body(body)[:2] if body is not None else ([], [])
+            )
+        path = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
+        allow, dis = rules[host]
+        return is_allowed_py(path, allow, dis)
+
+    fetched: dict[str, str] = {}
+    todo = list(seeds)
+    while todo:
+        u = todo.pop()
+        if u in fetched or u in blocked or not allowed(u):
+            continue
+        _status, html, _ctype, _ms = synth.page_for_url(u, web)
+        fetched[u] = html
+        hrefs = [
+            h
+            for h in htmlparse.parse_document(html)["links"]
+            if h and not h.startswith(("javascript:", "mailto:"))
+        ]
+        if hrefs:
+            canon = canonicalize_series(
+                pd.Series([u] * len(hrefs)), pd.Series(hrefs)
+            )
+            todo.extend(str(c) for c in canon.dropna())
+    return fetched
+
+
+@functools.lru_cache(maxsize=1)
+def _crawl_incremental_oracle_sql() -> str:
+    """Expected keep set of crawl_dedup_incremental: the two phase
+    closures inlined as (url, text) VALUES, then the incremental keep-set
+    rules (old always wins; new-new exact keep-first + simhash hamming<=3
+    greedy) replayed in SQL with the same md5-60/simhash builders as the
+    documents-table dedup oracles."""
+    from web_scraper_spark import synth
+
+    fetched_a = _crawl_closure(
+        _INC_SEEDS_A, synth.SynthWebConfig(**_INC_WEB_A), frozenset()
+    )
+    fetched_b = _crawl_closure(
+        _INC_SEEDS_B, synth.SynthWebConfig(**_INC_WEB_B), frozenset(fetched_a)
+    )
+
+    def vals(d: dict[str, str]) -> str:
+        return ",\n".join(
+            "('{}', '{}')".format(u, t.replace("'", "''"))
+            for u, t in sorted(d.items())
+        )
+
+    fp = dedupops.md5_60_sql("text")
+    sh = dedupops.simhash_sql("text")
+    return f"""
+WITH old_t(url, text) AS (VALUES {vals(fetched_a)}),
+new_t(url, text) AS (VALUES {vals(fetched_b)}),
+fpo AS (SELECT {fp} AS fp FROM old_t),
+fpn AS (SELECT url AS id, {fp} AS fp FROM new_t),
+sho AS (SELECT {sh} AS sh FROM old_t),
+shn AS (SELECT url AS id, {sh} AS sh FROM new_t),
+drops AS (
+  SELECT id FROM fpn WHERE fp IN (SELECT fp FROM fpo)
+  UNION
+  SELECT a.id FROM fpn a JOIN fpn b ON b.id < a.id AND a.fp = b.fp
+  UNION
+  SELECT n.id FROM shn n JOIN sho o ON bit_count(xor(n.sh, o.sh)) <= 3
+  UNION
+  SELECT a.id FROM shn a JOIN shn b
+    ON b.id < a.id AND bit_count(xor(a.sh, b.sh)) <= 3
+)
+SELECT url FROM new_t WHERE url NOT IN (SELECT id FROM drops)
+"""
 
 
 @functools.lru_cache(maxsize=4)
@@ -1018,6 +1214,43 @@ def _image_pair_full_values(n: int, seed: int) -> str:
         )
         for r in pdf.itertuples()
     )
+
+
+@functools.lru_cache(maxsize=2)
+def _video_frame_values(n: int, seed: int, every_n: int) -> str:
+    """(clip_id, frame_idx, frame_phash) VALUES literal for the
+    video_frames / frame_neardup oracles — the same deterministic QV01
+    containers re-generated and re-decoded SEQUENTIALLY (synth.videos_pdf
+    + multimodal.decode_qvid_frames, no Spark)."""
+    from web_scraper_spark import synth
+    from web_scraper_spark.functions import imageops
+    from web_scraper_spark.functions.multimodal import decode_qvid_frames
+
+    rows = []
+    for r in synth.videos_pdf(range(n), seed).itertuples(index=False):
+        for idx, arr in decode_qvid_frames(bytes(r.bytes), every_n):
+            rows.append(f"('{r.clip_id}', {idx}, {imageops.phash64(arr)})")
+    return ", ".join(rows)
+
+
+@functools.lru_cache(maxsize=2)
+def _audio_feat_values(n: int, seed: int) -> str:
+    """(clip_id, duration_s, rms, sample_rate) VALUES literal for the
+    audio_feats oracle — the same deterministic WAV bytes re-generated and
+    re-decoded SEQUENTIALLY (synth.audio_pdf + multimodal.decode_wav, no
+    Spark), so the distributed mapInPandas contract is checked against an
+    independent single-process derivation."""
+    from web_scraper_spark import synth
+    from web_scraper_spark.functions.multimodal import decode_wav
+
+    pdf = synth.audio_pdf(range(n), seed)
+    rows = []
+    for r in pdf.itertuples(index=False):
+        d = decode_wav(bytes(r.bytes))
+        rows.append(
+            f"('{r.clip_id}', {d['duration_s']!r}, {d['rms']!r}, {d['sample_rate']})"
+        )
+    return ", ".join(rows)
 
 
 @functools.lru_cache(maxsize=4)
@@ -1488,47 +1721,47 @@ GROUP BY 1, 2
       FROM scored QUALIFY rank <= 5
     """
 
+    o["crawl_dedup_incremental"] = _crawl_incremental_oracle_sql()
+
     o["ann_lsh_topk"] = simsearch.lsh_topk_sql([0, 1, 2], k=5, n_planes=6, dim=64)
     o["ann_ivf_topk"] = simsearch.ivf_flat_topk_sql(
         [0, 1, 2], k=5, n_clusters=16, n_probe=4
     )
 
-    # ---------------- multimodal stubs, fully value-oracled: the decode is
-    # a DISCLOSED stub (multimodal.py), but its deterministic md5 fakes are
-    # exactly expressible in SQL — so the whole Spark-side contract
-    # (mapInPandas schema, explode fan-out, values) is hash-checked, not
-    # just rows-only. _det64(parts) = first 8 md5 bytes big-endian >> 1;
-    # in SQL as h15*8 + h1//2 (15+1 hex-digit split keeps every
-    # intermediate below 2^63 — a single 16-digit conv overflows BIGINT).
-    def det64_sql(s: str) -> str:
-        m = f"md5({s})"
-        return (
-            f"CAST(CAST('0x' || substr({m},1,15) AS UBIGINT) * 8 "
-            f"+ CAST('0x' || substr({m},16,1) AS UBIGINT) // 2 AS BIGINT)"
-        )
-
-    _clips_cte = (
-        "SELECT 'clip' || CAST(x AS VARCHAR) AS clip_id FROM generate_series(0, 63) t(x)"
-    )
+    # ---------------- multimodal audio/video — REAL decode since r5 (WAV
+    # via stdlib wave, video via the engine's QV01 qdct container):
+    # expected rows are re-derived sequentially from the same
+    # deterministic bytes, the image-oracle pattern.
+    # audio is no longer a stub for WAV: expected rows come from a
+    # sequential re-decode of the same deterministic PCM bytes
     o["audio_feats"] = f"""
-      WITH c AS ({_clips_cte})
       SELECT clip_id,
-             ({det64_sql("'dur|' || clip_id")} % 30000) / 1000.0 AS duration_s,
-             ({det64_sql("'rms|' || clip_id")} % 1000) / 1000.0 AS rms,
-             16000 AS sample_rate
-      FROM c
+             CAST(duration_s AS DOUBLE) AS duration_s,
+             CAST(rms AS DOUBLE) AS rms,
+             CAST(sample_rate AS INTEGER) AS sample_rate
+      FROM (VALUES {_audio_feat_values(64, 42)})
+        AS t(clip_id, duration_s, rms, sample_rate)
     """
+    # video is no longer a stub for QV01: expected rows come from a
+    # sequential re-decode of the same deterministic container bytes
+    _frame_vals = _video_frame_values(48, 42, 3)
     o["video_frames"] = f"""
-      WITH c AS ({_clips_cte}),
-      nf AS (SELECT clip_id, 30 + ({det64_sql("'nf|' || clip_id")} % 270) AS n_frames FROM c),
-      g AS (
-        SELECT clip_id,
-               CAST(unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 10)) AS INTEGER) AS frame_idx
-        FROM nf
+      SELECT clip_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+             CAST(frame_phash AS BIGINT) AS frame_phash
+      FROM (VALUES {_frame_vals}) AS t(clip_id, frame_idx, frame_phash)
+    """
+
+    o["frame_neardup"] = f"""
+      WITH f0(clip_id, frame_idx, frame_phash) AS (VALUES {_frame_vals}),
+      f AS (
+        SELECT clip_id || '#' || lpad(CAST(frame_idx AS VARCHAR), 3, '0') AS fid,
+               CAST(frame_phash AS BIGINT) AS phash
+        FROM f0
       )
-      SELECT clip_id, frame_idx,
-             {det64_sql("'fp|' || clip_id || '|' || CAST(frame_idx AS VARCHAR)")} AS frame_phash
-      FROM g
+      SELECT a.fid AS frame_a, b.fid AS frame_b,
+             bit_count(xor(a.phash, b.phash)) AS hamming
+      FROM f a JOIN f b ON a.fid < b.fid
+      WHERE bit_count(xor(a.phash, b.phash)) <= 3
     """
 
     return o

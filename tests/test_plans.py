@@ -78,7 +78,13 @@ def test_no_cartesian_in_any_query(spark):
     """Every driver query must be cartesian-free: the near-dup joins go
     through band/bucket equi-joins, top-k through windows. (cosine has an
     intentional 1-row broadcast cross join — exempted.)"""
-    exempt = {"cosine_to_query", "ann_brute_topk", "ann_lsh_topk", "crawl_smoke"}
+    # crawl_smoke / crawl_dedup_incremental run a full crawl EAGERLY when
+    # invoked — exempted for cost, not for plan shape (their loop plans are
+    # audited by the crawl tests)
+    exempt = {
+        "cosine_to_query", "ann_brute_topk", "ann_lsh_topk",
+        "crawl_smoke", "crawl_dedup_incremental",
+    }
     for name, fn in entrymod.queries().items():
         if name in exempt:
             continue

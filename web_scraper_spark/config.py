@@ -77,5 +77,15 @@ class CrawlConfig:
     # manifests + superseded version dirs. None = keep everything.
     # Time travel and read_incremental stay exact WITHIN the window.
     retention_keep_last: int | None = 128
+    # maintain the ``dedup_index`` catalog table — one (id=url, fp, sh,
+    # shard) row per committed page, appended bucket-pure per generation —
+    # so "train on new data only" consumers can keep-set a later batch via
+    # dedup_keep_ids_incremental(old_index=cat.read("dedup_index", snap))
+    # WITHOUT ever rescanning shipped pages' content (the compute-once
+    # cache-aside contract, content_analyzer.c:420-492 analog). Cost is one
+    # fingerprint+simhash pass over the generation's fetched batch —
+    # O(delta). Turning this on mid-crawl leaves pre-existing pages
+    # unindexed; run crawl.backfill_dedup_index(cat, cfg) once to catch up.
+    maintain_dedup_index: bool = True
 
     extra_spark_conf: dict = field(default_factory=dict)

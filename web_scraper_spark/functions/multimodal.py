@@ -8,11 +8,13 @@ repartition works — the ops are row-local), and batch memory is bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` × payload size.
 
 Image ops are REAL end-to-end for the engine's codecs (ppm/png/qdct —
-imageops.py, pure numpy). Foreign formats (jpeg/webp) and the audio/video
-ops raise/stub deterministically: the sandbox ships no Pillow/cv2/ffmpeg
-(SURVEY.md §7.0), so the STUB path returns md5-seeded deterministic fakes
-with the production schema and batch shape, clearly marked. Swapping in a
-real decoder changes only the kernel body.
+imageops.py, pure numpy). Audio is REAL for PCM WAV (stdlib `wave` —
+decode_wav) and video is REAL for the engine's QV01 container of qdct
+frames (decode_qvid_frames). Only FOREIGN formats (jpeg/webp, mp3/ogg,
+mp4/webm) stub deterministically: the sandbox ships no Pillow/ffmpeg/pyav
+(SURVEY.md §7.0), so that path returns md5-seeded deterministic fakes with
+the production schema and batch shape, clearly marked. Swapping in a real
+decoder changes only the kernel body.
 """
 
 from __future__ import annotations
@@ -117,7 +119,8 @@ def resize_images(images: DataFrame, size: int = 32) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# audio / video — STUBS (no codec libs in sandbox; see module docstring)
+# audio — REAL for PCM WAV (stdlib `wave`, zero external deps); other
+# formats remain a disclosed deterministic stub (no mp3/ogg codecs here)
 # --------------------------------------------------------------------------
 
 AUDIO_FEATURES_SCHEMA = T.StructType(
@@ -128,6 +131,30 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("sample_rate", T.IntegerType(), True),
     ]
 )
+
+
+def decode_wav(data: bytes) -> dict:
+    """PCM WAV → {duration_s, rms, sample_rate} from the REAL decoded
+    frames (stdlib `wave` + numpy; 16-bit mono/stereo PCM). rms is over
+    samples normalized to [-1, 1), rounded like every oracle-compared
+    float. Raises on non-RIFF / non-PCM payloads — callers route those to
+    the stub or to strict failure."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(bytes(data)), "rb") as w:
+        n = w.getnframes()
+        rate = w.getframerate()
+        width = w.getsampwidth()
+        if width != 2:
+            raise ValueError(f"only 16-bit PCM supported, got width={width}")
+        pcm = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.float64)
+    rms = float(np.sqrt(np.mean((pcm / 32768.0) ** 2))) if len(pcm) else 0.0
+    return {
+        "duration_s": round(n / rate, 6),
+        "rms": round(rms, 6),
+        "sample_rate": int(rate),
+    }
 
 VIDEO_FRAMES_SCHEMA = T.StructType(
     [
@@ -144,41 +171,91 @@ def _det64(*parts) -> int:
 
 
 def audio_features(clips: DataFrame, strict: bool = False) -> DataFrame:
-    """STUB decode: real audio parsing needs soundfile/ffmpeg (absent).
+    """Audio feature extraction: (clip_id, bytes) → duration/rms/rate.
 
-    strict=True raises NotImplementedError (production posture); default
-    emits md5-deterministic fakes so the plumbing (schema, Arrow batching,
-    partition behavior) is fully exercised in tests."""
+    REAL decode for PCM WAV payloads (RIFF magic → stdlib `wave`, see
+    decode_wav) — frames actually parsed, features computed from samples.
+    Non-WAV payloads (mp3/ogg — codecs absent in this sandbox): strict=True
+    raises NotImplementedError (production posture); default emits the
+    DISCLOSED md5-deterministic fake so the Arrow plumbing stays
+    exercised end to end."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "audio decode requires soundfile/ffmpeg — not in sandbox"
-                )
-            n = len(pdf)
-            yield pd.DataFrame(
-                {
-                    "clip_id": pdf["clip_id"],
-                    "duration_s": [(_det64("dur", c) % 30000) / 1000.0 for c in pdf["clip_id"]],
-                    "rms": [(_det64("rms", c) % 1000) / 1000.0 for c in pdf["clip_id"]],
-                    "sample_rate": [16000] * n,
-                }
-            )
+            rows = []
+            for cid, data in zip(pdf["clip_id"], pdf["bytes"]):
+                if data is not None and bytes(data[:4]) == b"RIFF":
+                    d = decode_wav(bytes(data))
+                    rows.append(dict(clip_id=cid, **d))
+                elif strict:
+                    raise NotImplementedError(
+                        "non-WAV audio decode requires soundfile/ffmpeg — "
+                        "not in sandbox"
+                    )
+                else:
+                    rows.append(
+                        dict(
+                            clip_id=cid,
+                            duration_s=(_det64("dur", cid) % 30000) / 1000.0,
+                            rms=(_det64("rms", cid) % 1000) / 1000.0,
+                            sample_rate=16000,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["clip_id", "duration_s", "rms", "sample_rate"])
 
     return clips.select("clip_id", "bytes").mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
+VIDEO_MAGIC = b"QV01"
+
+
+def decode_qvid_frames(data: bytes, every_n: int = 1):
+    """Iterate (frame_idx, decoded HxWx3 uint8 array) of every every_n-th
+    frame of a QV01 container (magic + u32 n_frames + u32 fps + per frame
+    u32 len + qdct bytes — the engine's own deterministic codec,
+    imageops.decode_image). Frames NOT sampled are seeked over without
+    decoding — the length prefix exists exactly so a sampler pays I/O, not
+    DCT, for skipped frames."""
+    import struct
+
+    if bytes(data[:4]) != VIDEO_MAGIC:
+        raise ValueError("not a QV01 container")
+    n_frames, _fps = struct.unpack_from("<II", data, 4)
+    off = 12
+    for idx in range(n_frames):
+        (ln,) = struct.unpack_from("<I", data, off)
+        off += 4
+        if idx % every_n == 0:
+            yield idx, imageops.decode_image(bytes(data[off : off + ln]), "qdct")
+        off += ln
+
+
 def video_frame_sample(clips: DataFrame, every_n: int = 10, strict: bool = False) -> DataFrame:
-    """STUB frame sampler: emits one row per sampled frame (explode shape).
-    Real implementation would pyav/ffmpeg-decode inside the same batches."""
+    """Frame sampler: one row per sampled frame (explode shape), with the
+    frame's REAL phash for QV01 payloads — container parsed and qdct
+    frames decoded inside the Arrow batches (decode_qvid_frames), exactly
+    where a pyav/ffmpeg kernel would run for foreign containers. Non-QV01
+    payloads: strict=True raises (production posture); default keeps the
+    DISCLOSED md5-deterministic fake so the plumbing stays exercised."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError("video decode requires pyav/ffmpeg — not in sandbox")
             rows = []
-            for c in pdf["clip_id"]:
+            for c, data in zip(pdf["clip_id"], pdf["bytes"]):
+                if data is not None and bytes(data[:4]) == VIDEO_MAGIC:
+                    for idx, arr in decode_qvid_frames(bytes(data), every_n):
+                        rows.append(
+                            dict(
+                                clip_id=c,
+                                frame_idx=idx,
+                                frame_phash=imageops.phash64(arr),
+                            )
+                        )
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "non-QV01 video decode requires pyav/ffmpeg — not in sandbox"
+                    )
                 n_frames = 30 + _det64("nf", c) % 270
                 for i in range(0, n_frames, every_n):
                     rows.append(

@@ -347,6 +347,135 @@ def images_df(spark, n: int, seed: int = 42, partitions: int | None = None):
     return rng_df.mapInPandas(gen, schema=IMAGES)
 
 
+# --------------------------------------------------------------------------
+# audio clips (PCM WAV — decodable with stdlib `wave`, no codec libs)
+# --------------------------------------------------------------------------
+
+AUDIO_SAMPLE_RATE = 16000
+
+
+def audio_row(i: int, seed: int) -> dict:
+    """One deterministic mono 16-bit PCM WAV clip: seeded sine + noise,
+    0.1-0.5 s at 16 kHz. Fully determined by (seed, i); the bytes parse
+    with stdlib `wave`, so multimodal.audio_features decodes REAL frames
+    (no stub) for fmt='wav'."""
+    import io
+    import wave
+
+    h = _h64(seed, "wav", i)
+    n_samples = 1600 + h % 6400
+    freq = 200.0 + (h >> 16) % 2000
+    amp = 8000 + (h >> 32) % 8000
+    rng = np.random.Generator(np.random.PCG64(_h64(seed, "pcm", i)))
+    t = np.arange(n_samples, dtype=np.float64) / AUDIO_SAMPLE_RATE
+    x = amp * np.sin(2 * np.pi * freq * t) + rng.uniform(-500, 500, n_samples)
+    pcm = np.clip(x, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(AUDIO_SAMPLE_RATE)
+        w.writeframes(pcm.tobytes())
+    return {"clip_id": f"aud-{i:08d}", "bytes": buf.getvalue(), "fmt": "wav"}
+
+
+def audio_pdf(ids, seed: int) -> pd.DataFrame:
+    return pd.DataFrame([audio_row(int(i), seed) for i in ids])
+
+
+def audio_clips_df(spark, n: int, seed: int = 42, partitions: int | None = None):
+    """Distributed audio-clips table (clip_id, bytes, fmt) — generated
+    per-executor like images_df, so the table is writable at any scale."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), True),
+            T.StructField("fmt", T.StringType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield audio_pdf(pdf["id"], seed)
+
+    rng_df = spark.range(0, n, 1, partitions or max(2, n // 256))
+    return rng_df.mapInPandas(gen, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# video clips (QV01 container of qdct frames — decodable with the engine's
+# own codec, no external libs)
+# --------------------------------------------------------------------------
+
+VIDEO_MAGIC = b"QV01"
+VIDEO_FPS = 10
+VIDEO_DUP_STRIDE = 7  # i % 7 == 1 → frames perturb clip i-1's base
+
+
+def video_row(i: int, seed: int) -> dict:
+    """One deterministic QV01 clip: 6-15 qdct-encoded 32×32 frames, every
+    frame a lightly-perturbed copy of the clip's base image (so sampled
+    frames are mutual phash near-dups — the in-clip redundancy a frame
+    dedup pass exists to catch), and clips with i % VIDEO_DUP_STRIDE == 1
+    share the PREVIOUS clip's base (cross-clip near-dups). Container:
+    b'QV01' + u32 n_frames + u32 fps + per frame (u32 len + qdct bytes)."""
+    import struct
+
+    dup_of = i - 1 if (i % VIDEO_DUP_STRIDE == 1 and i > 0) else None
+    src = dup_of if dup_of is not None else i
+    h = _h64(seed, "vid", src)
+    n_frames = 6 + h % 10
+    rng0 = np.random.Generator(np.random.PCG64(_h64(seed, "vbase", src)))
+    yy, xx = np.mgrid[0:32, 0:32]
+    angle = (h % 360) * np.pi / 180
+    grad = (np.cos(angle) * xx / 32 + np.sin(angle) * yy / 32) * 160
+    base = np.clip(
+        grad[..., None] + rng0.uniform(0, 90, (32, 32, 3)) + h % 60, 0, 255
+    ).astype(np.uint8)
+    payload = [struct.pack("<II", n_frames, VIDEO_FPS)]
+    for f in range(n_frames):
+        px = base.copy()
+        rng = np.random.Generator(np.random.PCG64(_h64(seed, "vf", i, f)))
+        for _ in range(4):
+            r = int(rng.integers(0, 32))
+            c = int(rng.integers(0, 32))
+            px[r, c] = np.clip(px[r, c].astype(int) + int(rng.integers(-3, 4)), 0, 255)
+        fb = imageops.encode_image(px, "qdct")
+        payload.append(struct.pack("<I", len(fb)) + fb)
+    return {
+        "clip_id": f"vid-{i:08d}",
+        "bytes": VIDEO_MAGIC + b"".join(payload),
+        "fmt": "qvid",
+    }
+
+
+def videos_pdf(ids, seed: int) -> pd.DataFrame:
+    return pd.DataFrame([video_row(int(i), seed) for i in ids])
+
+
+def video_clips_df(spark, n: int, seed: int = 42, partitions: int | None = None):
+    """Distributed video-clips table (clip_id, bytes, fmt) — generated
+    per-executor like images_df/audio_clips_df."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), True),
+            T.StructField("fmt", T.StringType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield videos_pdf(pdf["id"], seed)
+
+    rng_df = spark.range(0, n, 1, partitions or max(2, n // 64))
+    return rng_df.mapInPandas(gen, schema=schema)
+
+
 def web_graph_df(spark, cfg: SynthWebConfig):
     """Materialized synthetic web (for tests/queries; the fetcher itself
     evaluates page_for_url lazily and never needs this table)."""
