@@ -846,6 +846,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["crawl_dedup_incremental"] = q_crawl_dedup_incremental
 
+    def q_crawl_extract_oracle(spark, sf_dir):
+        """The full crawl loop's PAGES OUTPUT value-checked: drain-crawl
+        the 2-host synth web (same shape as crawl_dedup_incremental's
+        phase A) and return every fetched page's (url, status, title,
+        sentiment). A drained crawl's page SET is schedule-invariant, and
+        status/title/sentiment are pure functions of the page — so the
+        oracle re-derives every row sequentially (the python closure walk
+        + the SAME analyze kernel the mapInPandas stage wraps) and inlines
+        it as VALUES. Together with crawl_dedup_incremental this leaves
+        crawl_smoke (budget-bounded, schedule-dependent by design) as the
+        only rows-only entry."""
+        import atexit
+        import shutil
+        import tempfile
+
+        from web_scraper_spark import synth
+        from web_scraper_spark.config import CrawlConfig
+        from web_scraper_spark.crawl import run_crawl
+
+        web = synth.SynthWebConfig(**_INC_WEB_A)
+        cfg = CrawlConfig(
+            max_pages=0, max_depth=64, horizon=60.0,
+            num_shards=8, num_host_buckets=8,
+        )
+        root = tempfile.mkdtemp(prefix="wss_cxo_", dir="/tmp")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        seeds = spark.createDataFrame(
+            [(u, 1) for u in _INC_SEEDS_A], ["url", "priority"]
+        )
+        cat = run_crawl(spark, root, seeds, cfg, web, max_generations=40)
+        return cat.read("pages").select(
+            "url",
+            "status",
+            "title",
+            F.round("sentiment", 6).alias("sentiment"),
+        )
+
+    q["crawl_extract_oracle"] = q_crawl_extract_oracle
+
     def q_image_invariants(spark, sf_dir):
         """input_hint table → decode + phash recompute (must match stored)."""
         from web_scraper_spark import synth
@@ -1134,6 +1173,38 @@ def _crawl_closure(seeds, web, blocked) -> dict[str, str]:
             )
             todo.extend(str(c) for c in canon.dropna())
     return fetched
+
+
+@functools.lru_cache(maxsize=1)
+def _crawl_extract_oracle_sql() -> str:
+    """Expected (url, status, title, sentiment) rows of
+    crawl_extract_oracle: the sequential closure walk gives the fetched
+    set; status from the synth transport; title/sentiment from ONE
+    sequential call of the SAME analyze kernel (textops.analyze_series)
+    the crawl's mapInPandas stage wraps — the image-oracle pattern applied
+    to the whole extract stage."""
+    import pandas as pd
+
+    from web_scraper_spark import synth
+    from web_scraper_spark.functions import textops
+
+    web = synth.SynthWebConfig(**_INC_WEB_A)
+    fetched = _crawl_closure(_INC_SEEDS_A, web, frozenset())
+    urls = sorted(fetched)
+    an = textops.analyze_series(pd.Series([fetched[u] for u in urls]))
+    rows = []
+    for i, u in enumerate(urls):
+        status = synth.page_for_url(u, web)[0]
+        title = an["title"].iloc[i]
+        t_lit = "NULL" if title is None else "'" + title.replace("'", "''") + "'"
+        senti = round(float(an["sentiment"].iloc[i]), 6)
+        rows.append(f"('{u}', {status}, {t_lit}, {senti!r})")
+    vals = ",\n".join(rows)
+    return f"""
+SELECT url, CAST(status AS INTEGER) AS status, title,
+       CAST(sentiment AS DOUBLE) AS sentiment
+FROM (VALUES {vals}) AS t(url, status, title, sentiment)
+"""
 
 
 @functools.lru_cache(maxsize=1)
@@ -1722,6 +1793,7 @@ GROUP BY 1, 2
     """
 
     o["crawl_dedup_incremental"] = _crawl_incremental_oracle_sql()
+    o["crawl_extract_oracle"] = _crawl_extract_oracle_sql()
 
     o["ann_lsh_topk"] = simsearch.lsh_topk_sql([0, 1, 2], k=5, n_planes=6, dim=64)
     o["ann_ivf_topk"] = simsearch.ivf_flat_topk_sql(

@@ -83,7 +83,7 @@ def test_no_cartesian_in_any_query(spark):
     # audited by the crawl tests)
     exempt = {
         "cosine_to_query", "ann_brute_topk", "ann_lsh_topk",
-        "crawl_smoke", "crawl_dedup_incremental",
+        "crawl_smoke", "crawl_dedup_incremental", "crawl_extract_oracle",
     }
     for name, fn in entrymod.queries().items():
         if name in exempt:
