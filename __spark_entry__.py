@@ -1068,6 +1068,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["frame_neardup"] = q_frame_neardup
 
+    def q_video_keep_set(spark, sf_dir):
+        """Video CLIP-level keep-set (pairs.clip_keep_ids): decode + sample
+        frames from the QV01 clips, drop every clip with ANY sampled frame
+        within phash hamming 3 of a smaller clip's frame — the synth
+        corpus's duplicated clips (every 7th perturbs the previous clip's
+        base) provably fire the drop path. Completes the per-modality
+        keep-set family; pigeonhole-exact, fully value-oracled."""
+        from web_scraper_spark import synth
+        from web_scraper_spark.functions import multimodal
+        from web_scraper_spark.operators import pairs as pairs_ops
+
+        frames = multimodal.video_frame_sample(
+            synth.video_clips_df(spark, 48, seed=42), every_n=3
+        )
+        return pairs_ops.clip_keep_ids(frames, max_hamming=3)
+
+    q["video_keep_set"] = q_video_keep_set
+
     def q_audio_feats(spark, sf_dir):
         """Multimodal audio: synthesized PCM WAV clips → REAL stdlib-wave
         decode inside mapInPandas (r4 verdict item 4 — the stub is gone
@@ -1821,6 +1839,18 @@ GROUP BY 1, 2
       SELECT clip_id, CAST(frame_idx AS INTEGER) AS frame_idx,
              CAST(frame_phash AS BIGINT) AS frame_phash
       FROM (VALUES {_frame_vals}) AS t(clip_id, frame_idx, frame_phash)
+    """
+
+    o["video_keep_set"] = f"""
+      WITH f0(clip_id, frame_idx, frame_phash) AS (VALUES {_frame_vals}),
+      drops AS (
+        SELECT DISTINCT b.clip_id FROM f0 a JOIN f0 b
+          ON a.clip_id < b.clip_id
+         AND bit_count(xor(CAST(a.frame_phash AS BIGINT),
+                           CAST(b.frame_phash AS BIGINT))) <= 3
+      )
+      SELECT DISTINCT clip_id FROM f0
+      WHERE clip_id NOT IN (SELECT clip_id FROM drops)
     """
 
     o["frame_neardup"] = f"""

@@ -226,6 +226,56 @@ def image_dup_clusters(
     )
 
 
+def clip_keep_ids(
+    frames: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Video CLIP-level keep-set from sampled-frame evidence — the video
+    twin of dedup_keep_set/image_keep_set, completing the modality family
+    (text / image / image+caption pair / video): a clip is dropped when
+    ANY of its sampled frames is a phash near-dup (hamming <= t) of ANY
+    frame of a lexicographically SMALLER clip_id (greedy keep-first — a
+    re-encoded or trimmed copy of a clip shares most sampled frames).
+
+    frames: (clip_id, frame_idx, frame_phash) — the video_frame_sample
+    output. The frame-pair detection is the same pigeonhole-exact LSH band
+    equi-join as J6 (never all-pairs over frames), clip pairs collapse
+    through their own distinct exchange, and the result is the surviving
+    clip_id set — so the whole composite is SQL-oracle-able."""
+    assert max_hamming < n_bands, "pigeonhole guarantee needs n_bands > max_hamming"
+    assert 64 % n_bands == 0, "n_bands must divide 64"
+    from ..functions.dedupops import register_op_cache
+
+    ph = register_op_cache(frames.select("clip_id", "frame_phash"))
+    bands = ph.select(
+        "clip_id",
+        "frame_phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), e.alias("bv"))
+                    for i, e in enumerate(
+                        phash_band_exprs(F.col("frame_phash"), n_bands)
+                    )
+                ]
+            )
+        ).alias("bb"),
+    ).select("clip_id", "frame_phash", "bb.band", "bb.bv")
+    a = bands.select(
+        F.col("clip_id").alias("clip_a"), F.col("frame_phash").alias("pa"), "band", "bv"
+    )
+    b = bands.select(
+        F.col("clip_id").alias("clip_b"), F.col("frame_phash").alias("pb"), "band", "bv"
+    )
+    drops = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("clip_a") < F.col("clip_b"))
+        .filter(hamming_expr(F.col("pa"), F.col("pb")) <= max_hamming)
+        .select(F.col("clip_b").alias("clip_id"))
+        .distinct()
+    )
+    return ph.select("clip_id").distinct().join(drops, "clip_id", "left_anti")
+
+
 def dedup_pairs(pairs: DataFrame, images: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Training pairs minus near-duplicate images (anti-join on the LSH
     drop set) — the corpus-side twin of the URL-seen dedup."""
