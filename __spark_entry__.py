@@ -1100,6 +1100,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["audio_feats"] = q_audio_feats
 
+    def q_audio_keep_set(spark, sf_dir):
+        """Audio CLIP-level keep-set (pairs.audio_keep_ids): decode the
+        PCM WAV clips into gain-invariant envelope-shape fingerprints
+        (multimodal.wav_fingerprint — REAL samples, no stub) and drop
+        every clip within hamming 3 of a smaller clip's fingerprint via
+        the shared phash LSH band join. The synth corpus's spliced copies
+        (every 7th clip gain-edits two envelope windows of the previous
+        clip, hamming <= 3 by construction) provably fire the drop path.
+        Completes the per-modality keep-set family (text / image / pair /
+        video / audio); pigeonhole-exact, fully value-oracled against
+        sequentially re-decoded fingerprints."""
+        from web_scraper_spark import synth
+        from web_scraper_spark.functions import multimodal
+        from web_scraper_spark.operators import pairs as pairs_ops
+
+        fps = multimodal.audio_fingerprints(synth.audio_clips_df(spark, 64, seed=42))
+        return pairs_ops.audio_keep_ids(fps, max_hamming=3)
+
+    q["audio_keep_set"] = q_audio_keep_set
+
     return q
 
 
@@ -1340,6 +1360,23 @@ def _audio_feat_values(n: int, seed: int) -> str:
             f"('{r.clip_id}', {d['duration_s']!r}, {d['rms']!r}, {d['sample_rate']})"
         )
     return ", ".join(rows)
+
+
+@functools.lru_cache(maxsize=2)
+def _audio_fp_values(n: int, seed: int) -> str:
+    """(clip_id, afp) VALUES literal for the audio_keep_set oracle — the
+    same deterministic WAV bytes re-generated and re-fingerprinted
+    SEQUENTIALLY (synth.audio_pdf + multimodal.wav_fingerprint, no Spark),
+    so the distributed fingerprint + LSH keep-set is checked against an
+    independent single-process derivation + an all-pairs SQL join."""
+    from web_scraper_spark import synth
+    from web_scraper_spark.functions.multimodal import wav_fingerprint
+
+    pdf = synth.audio_pdf(range(n), seed)
+    return ", ".join(
+        f"('{r.clip_id}', {wav_fingerprint(bytes(r.bytes))})"
+        for r in pdf.itertuples(index=False)
+    )
 
 
 @functools.lru_cache(maxsize=4)
@@ -1848,6 +1885,18 @@ GROUP BY 1, 2
           ON a.clip_id < b.clip_id
          AND bit_count(xor(CAST(a.frame_phash AS BIGINT),
                            CAST(b.frame_phash AS BIGINT))) <= 3
+      )
+      SELECT DISTINCT clip_id FROM f0
+      WHERE clip_id NOT IN (SELECT clip_id FROM drops)
+    """
+
+    o["audio_keep_set"] = f"""
+      WITH f0(clip_id, afp) AS (VALUES {_audio_fp_values(64, 42)}),
+      drops AS (
+        SELECT DISTINCT b.clip_id FROM f0 a JOIN f0 b
+          ON a.clip_id < b.clip_id
+         AND bit_count(xor(CAST(a.afp AS BIGINT),
+                           CAST(b.afp AS BIGINT))) <= 3
       )
       SELECT DISTINCT clip_id FROM f0
       WHERE clip_id NOT IN (SELECT clip_id FROM drops)

@@ -88,3 +88,34 @@ def test_pair_keep_ids_both_axes_fire(spark):
     # survivors keep all columns
     row = pairs_ops.pair_keep_ids(imgs).filter(F.col("image_id") == "img-0000000004").collect()[0]
     assert row["caption"] == boiler and row["phash"] is not None
+
+
+def test_audio_keep_ids_drops_spliced_copies(spark):
+    """Audio keep-set: every seeded spliced copy (i % AUDIO_DUP_STRIDE == 1
+    gain-edits two envelope windows of clip i-1) is within fingerprint
+    hamming 3 of its source and gets dropped; the source survives; the
+    result is stable under repartitioning."""
+    from web_scraper_spark.functions import multimodal
+
+    n = 32
+    clips = synth.audio_clips_df(spark, n, seed=42)
+    fps = multimodal.audio_fingerprints(clips)
+    kept = {r["clip_id"] for r in pairs_ops.audio_keep_ids(fps, 3).collect()}
+    dups = {f"aud-{i:08d}" for i in range(n) if i % synth.AUDIO_DUP_STRIDE == 1 and i > 0}
+    srcs = {f"aud-{i - 1:08d}" for i in range(n) if i % synth.AUDIO_DUP_STRIDE == 1 and i > 0}
+    assert kept & dups == set()          # every spliced copy dropped
+    assert srcs <= kept                  # keep-first representatives survive
+    # sequential re-derivation agrees (same kernel, no Spark)
+    seq = {
+        r.clip_id: multimodal.wav_fingerprint(bytes(r.bytes))
+        for r in synth.audio_pdf(range(n), 42).itertuples(index=False)
+    }
+    dist = {r["clip_id"]: r["afp"] for r in fps.collect()}
+    assert seq == dist
+    again = {
+        r["clip_id"]
+        for r in pairs_ops.audio_keep_ids(
+            multimodal.audio_fingerprints(clips.repartition(8)), 3
+        ).collect()
+    }
+    assert again == kept

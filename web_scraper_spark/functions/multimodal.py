@@ -133,12 +133,10 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def decode_wav(data: bytes) -> dict:
-    """PCM WAV → {duration_s, rms, sample_rate} from the REAL decoded
-    frames (stdlib `wave` + numpy; 16-bit mono/stereo PCM). rms is over
-    samples normalized to [-1, 1), rounded like every oracle-compared
-    float. Raises on non-RIFF / non-PCM payloads — callers route those to
-    the stub or to strict failure."""
+def _wav_pcm(data: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV → (float64 sample array, sample_rate) via stdlib `wave`.
+    Raises on non-RIFF / non-16-bit payloads — callers route those to the
+    stub or to strict failure."""
     import io
     import wave
 
@@ -149,12 +147,79 @@ def decode_wav(data: bytes) -> dict:
         if width != 2:
             raise ValueError(f"only 16-bit PCM supported, got width={width}")
         pcm = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.float64)
+    return pcm, rate
+
+
+def decode_wav(data: bytes) -> dict:
+    """PCM WAV → {duration_s, rms, sample_rate} from the REAL decoded
+    frames (stdlib `wave` + numpy; 16-bit mono/stereo PCM). rms is over
+    samples normalized to [-1, 1), rounded like every oracle-compared
+    float."""
+    pcm, rate = _wav_pcm(data)
     rms = float(np.sqrt(np.mean((pcm / 32768.0) ** 2))) if len(pcm) else 0.0
     return {
-        "duration_s": round(n / rate, 6),
+        "duration_s": round(len(pcm) / rate, 6),
         "rms": round(rms, 6),
         "sample_rate": int(rate),
     }
+
+
+def wav_fingerprint(data: bytes, n_windows: int = 64) -> int:
+    """Gain-invariant envelope-shape fingerprint of a PCM WAV clip: split
+    the decoded samples into n_windows equal windows (zero-padded tail),
+    take per-window mean |amplitude|, and set bit i when window i is
+    louder than window i+1 — 63 comparison bits packed LSB-first into a
+    non-negative int64 that rides the SAME LSH band join as the image
+    phash (imageops.phash_band_exprs / hamming_expr).
+
+    Hamming distance counts envelope-shape disagreements: a splice edit
+    touching k contiguous windows flips at most k+1 bits, while
+    independent clips disagree on ~half the comparisons. Gain-invariant by
+    construction (both sides of each comparison scale together); NOT
+    robust to re-encoding through a lossy codec — that needs a
+    codec-domain fingerprint and codecs aren't in this sandbox."""
+    pcm, _ = _wav_pcm(data)
+    win = (len(pcm) + n_windows - 1) // n_windows
+    pad = np.zeros(win * n_windows, dtype=np.float64)
+    pad[: len(pcm)] = np.abs(pcm)
+    env = pad.reshape(n_windows, win).mean(axis=1)
+    fp = 0
+    for i in range(n_windows - 1):
+        if env[i] > env[i + 1]:
+            fp |= 1 << i
+    return fp
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("afp", T.LongType(), True),
+    ]
+)
+
+
+def audio_fingerprints(clips: DataFrame, strict: bool = False) -> DataFrame:
+    """(clip_id, bytes) → (clip_id, afp): the wav_fingerprint envelope hash
+    per clip, Arrow-batched. REAL decode for PCM WAV; non-WAV payloads
+    raise under strict=True and fall back to the DISCLOSED deterministic
+    fake otherwise (same routing as audio_features)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, data in zip(pdf["clip_id"], pdf["bytes"]):
+                if data is not None and bytes(data[:4]) == b"RIFF":
+                    rows.append((cid, wav_fingerprint(bytes(data))))
+                elif strict:
+                    raise NotImplementedError(
+                        "non-WAV audio decode requires soundfile/ffmpeg — "
+                        "not in sandbox"
+                    )
+                else:
+                    rows.append((cid, _det64("afp", cid)))
+            yield pd.DataFrame(rows, columns=["clip_id", "afp"])
+
+    return clips.select("clip_id", "bytes").mapInPandas(run, schema=AUDIO_FP_SCHEMA)
 
 VIDEO_FRAMES_SCHEMA = T.StructType(
     [

@@ -276,6 +276,21 @@ def clip_keep_ids(
     return ph.select("clip_id").distinct().join(drops, "clip_id", "left_anti")
 
 
+def audio_keep_ids(fps: DataFrame, max_hamming: int = 3, n_bands: int = 4) -> DataFrame:
+    """Audio CLIP-level keep-set — the audio member of the per-modality
+    keep-set family (text / image / image+caption pair / video / audio):
+    drop a clip whose envelope fingerprint (multimodal.wav_fingerprint) is
+    within hamming max_hamming of a lexicographically smaller clip's.
+
+    fps: (clip_id, afp) from multimodal.audio_fingerprints. One hash per
+    clip, so this is exactly the video keep-set with a single "frame" —
+    the same pigeonhole-exact LSH band equi-join, never all-pairs."""
+    frames = fps.select(
+        "clip_id", F.lit(0).alias("frame_idx"), F.col("afp").alias("frame_phash")
+    )
+    return clip_keep_ids(frames, max_hamming=max_hamming, n_bands=n_bands)
+
+
 def dedup_pairs(pairs: DataFrame, images: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Training pairs minus near-duplicate images (anti-join on the LSH
     drop set) — the corpus-side twin of the URL-seen dedup."""

@@ -352,16 +352,11 @@ def images_df(spark, n: int, seed: int = 42, partitions: int | None = None):
 # --------------------------------------------------------------------------
 
 AUDIO_SAMPLE_RATE = 16000
+AUDIO_DUP_STRIDE = 7  # i % 7 == 1 → clip i is a spliced copy of clip i-1
 
 
-def audio_row(i: int, seed: int) -> dict:
-    """One deterministic mono 16-bit PCM WAV clip: seeded sine + noise,
-    0.1-0.5 s at 16 kHz. Fully determined by (seed, i); the bytes parse
-    with stdlib `wave`, so multimodal.audio_features decodes REAL frames
-    (no stub) for fmt='wav'."""
-    import io
-    import wave
-
+def _audio_pcm(i: int, seed: int) -> np.ndarray:
+    """Base PCM for clip i (int16 mono): seeded sine + noise, 0.1-0.5 s."""
     h = _h64(seed, "wav", i)
     n_samples = 1600 + h % 6400
     freq = 200.0 + (h >> 16) % 2000
@@ -369,7 +364,33 @@ def audio_row(i: int, seed: int) -> dict:
     rng = np.random.Generator(np.random.PCG64(_h64(seed, "pcm", i)))
     t = np.arange(n_samples, dtype=np.float64) / AUDIO_SAMPLE_RATE
     x = amp * np.sin(2 * np.pi * freq * t) + rng.uniform(-500, 500, n_samples)
-    pcm = np.clip(x, -32768, 32767).astype("<i2")
+    return np.clip(x, -32768, 32767).astype("<i2")
+
+
+def audio_row(i: int, seed: int) -> dict:
+    """One deterministic mono 16-bit PCM WAV clip. Fully determined by
+    (seed, i); the bytes parse with stdlib `wave`, so
+    multimodal.audio_features decodes REAL frames (no stub) for fmt='wav'.
+
+    Clips with i % AUDIO_DUP_STRIDE == 1 are SPLICED COPIES of clip i-1:
+    same PCM except two contiguous envelope windows (of the 64 that
+    multimodal.wav_fingerprint measures) gain-scaled by 1.15 — the edited
+    re-upload an audio dedup pass exists to catch. Scaling two whole
+    adjacent windows flips at most 3 envelope-comparison bits (the two
+    boundary comparisons plus the knife-edge in-between one), so dup pairs
+    sit within fingerprint hamming <= 3 by construction."""
+    import io
+    import wave
+
+    if i % AUDIO_DUP_STRIDE == 1 and i > 0:
+        pcm = _audio_pcm(i - 1, seed).astype(np.float64)
+        win = (len(pcm) + 63) // 64  # same windowing as wav_fingerprint
+        j = 1 + _h64(seed, "splice", i) % 60  # windows [j, j+1], inside 0..63
+        lo, hi = j * win, min((j + 2) * win, len(pcm))
+        pcm[lo:hi] *= 1.15
+        pcm = np.clip(pcm, -32768, 32767).astype("<i2")
+    else:
+        pcm = _audio_pcm(i, seed)
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
