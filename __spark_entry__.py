@@ -549,6 +549,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stratified_sample"] = q_stratified_sample
 
+    def q_doc_repetition(spark, sf_dir):
+        """Gopher-style repetition signals per document: duplicate-token
+        fraction (pure JVM array exprs, per-row) and top word-bigram
+        fraction (distributed explode + two-level groupBy histogram — the
+        shape that survives pathological repeated-phrase docs at 100 TB;
+        textanalysis.top_bigram_stats). Both value-oracled."""
+        d = _docs(spark, sf_dir)
+        rep = ta.top_bigram_stats(d)
+        return (
+            d.select(
+                "doc_id",
+                ta.dup_token_fraction_expr(F.col("text")).alias("dup_token_frac"),
+            )
+            .join(rep, "doc_id")
+            .select("doc_id", "dup_token_frac", "top_bigram_frac", "n_bigrams")
+        )
+
+    q["doc_repetition"] = q_doc_repetition
+
+    def q_token_budget_sample(spark, sf_dir):
+        """Budgeted per-language corpus selection: keep the highest-quality
+        documents of each language until a 20k-token budget fills
+        (sampling.token_budget_sample). The Spark plan is the two-phase
+        bucket-verdict form — only the budget-crossing priority bucket
+        flows through a per-document window, so the biggest language never
+        funnels through one task; the oracle states the naive one-window
+        semantics the plan must reproduce."""
+        from web_scraper_spark.operators import sampling
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            "lang",
+            ta.quality_score_expr(F.col("text")).alias("priority"),
+            ta.token_count_expr(F.col("text")).cast("long").alias("tokens"),
+        )
+        return sampling.token_budget_sample(d, 20_000)
+
+    q["token_budget_sample"] = q_token_budget_sample
+
     def q_dup_clusters(spark, sf_dir):
         """Transitive dup clusters: connected components over the simhash
         near-dup graph by hash-min label propagation (driver-controlled,
@@ -1636,6 +1675,27 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, lang_pred, bucket FROM s
       WHERE bucket < CASE WHEN lang_pred = 'en' THEN 500 ELSE 100 END
     """
+
+    _rep = ta.top_bigram_stats_sql("documents")
+    o["doc_repetition"] = f"""
+      WITH rep AS ({_rep})
+      SELECT d.doc_id,
+             {ta.dup_token_fraction_sql('d.text')} AS dup_token_frac,
+             rep.top_bigram_frac, rep.n_bigrams
+      FROM documents d JOIN rep ON d.doc_id = rep.doc_id
+    """
+
+    from web_scraper_spark.operators.sampling import token_budget_sample_sql
+
+    o["token_budget_sample"] = token_budget_sample_sql(
+        f"""(
+          SELECT doc_id, lang,
+                 {ta.quality_score_sql('text')} AS priority,
+                 CAST({ta.token_count_sql('text')} AS BIGINT) AS tokens
+          FROM documents
+        )""",
+        20_000,
+    )
 
     # the composite pipeline: score + filter the unioned corpus, run the
     # keep-set SQL over the filtered subquery, re-attach the scores

@@ -1,0 +1,124 @@
+"""token_budget_sample: the two-phase bucket-verdict plan must reproduce
+the naive one-window semantics exactly — including budget boundaries that
+land on bucket edges, inside buckets, and priority/id ties — and the
+repetition signals must match hand-computed values."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from web_scraper_spark.functions import textanalysis as ta
+from web_scraper_spark.operators.sampling import token_budget_sample
+
+
+def naive_keep(rows, budget):
+    """Sequential reference: per stratum, (priority DESC, id ASC) prefix
+    while cum <= budget. rows = (id, stratum, priority, tokens)."""
+    out = {}
+    by_stratum = {}
+    for r in rows:
+        by_stratum.setdefault(r[1], []).append(r)
+    for s, rs in by_stratum.items():
+        cum = 0
+        for rid, _, _, tok in sorted(rs, key=lambda r: (-r[2], r[0])):
+            if tok <= 0:
+                continue
+            cum += tok  # prefix semantics: an overflowing doc still spends
+            if cum <= budget:
+                out[rid] = cum
+    return out
+
+
+CASES = [
+    # budget crosses INSIDE a bucket (priority tie group)
+    ("inside", 10, [("a", "en", 2.0, 4), ("b", "en", 2.0, 4), ("c", "en", 2.0, 4)]),
+    # budget lands EXACTLY on a bucket edge (no boundary bucket at all)
+    ("edge", 8, [("a", "en", 2.0, 4), ("b", "en", 2.0, 4), ("c", "en", 1.0, 4)]),
+    # first bucket alone overflows the budget
+    ("overflow", 3, [("a", "en", 2.0, 4), ("b", "en", 1.0, 1)]),
+    # multiple strata with different crossing points + id tie-breaks
+    (
+        "strata",
+        6,
+        [
+            ("a", "en", 2.0, 3),
+            ("b", "en", 2.0, 3),
+            ("c", "en", 2.0, 3),
+            ("d", "fr", 1.0, 5),
+            ("e", "fr", 0.5, 5),
+            ("f", "zh", 9.0, 7),
+        ],
+    ),
+]
+
+
+@pytest.mark.parametrize("name,budget,rows", CASES, ids=[c[0] for c in CASES])
+def test_two_phase_equals_naive(spark, name, budget, rows):
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "priority", "tokens"])
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in token_budget_sample(df, budget).collect()
+    }
+    assert got == naive_keep(rows, budget)
+
+
+def test_two_phase_equals_one_window_spark(spark):
+    """Same keep set as the literal one-window Spark plan on a synthetic
+    corpus with many buckets and both boundary kinds."""
+    rows = [
+        (f"d{i:03d}", ["en", "fr"][i % 2], float(i % 5), 1 + i % 7)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "priority", "tokens"])
+    budget = 60
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = (
+        df.where(F.col("tokens") > 0)
+        .withColumn("cum_tokens", F.sum("tokens").over(w))
+        .where(F.col("cum_tokens") <= budget)
+        .select("doc_id", "lang", "tokens", "cum_tokens")
+    )
+    got = {(r["doc_id"], r["cum_tokens"]) for r in token_budget_sample(df, budget).collect()}
+    want = {(r["doc_id"], r["cum_tokens"]) for r in naive.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_zero_token_docs_dropped(spark):
+    df = spark.createDataFrame(
+        [("a", "en", 2.0, 4), ("z", "en", 2.0, 0), ("b", "en", 1.0, 4)],
+        ["doc_id", "lang", "priority", "tokens"],
+    )
+    kept = {r["doc_id"] for r in token_budget_sample(df, 8).collect()}
+    assert kept == {"a", "b"}
+
+
+def test_repetition_signals_hand_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),        # 1 distinct token, top bigram 3/3
+            (2, "a b c d"),                     # all unique
+            (3, "one"),                         # single token: no bigrams
+            (4, "x y x y x"),                   # 'x y' twice of 4 bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    rep = {
+        r["doc_id"]: (r["top_bigram_frac"], r["n_bigrams"])
+        for r in ta.top_bigram_stats(docs).collect()
+    }
+    assert rep[1] == (1.0, 3)
+    assert rep[2] == (pytest.approx(1 / 3, abs=1e-6), 3)
+    assert rep[3] == (0.0, 0)
+    assert rep[4] == (0.5, 4)
+    dup = {
+        r["doc_id"]: r["frac"]
+        for r in docs.select(
+            "doc_id", ta.dup_token_fraction_expr(F.col("text")).alias("frac")
+        ).collect()
+    }
+    assert dup[1] == 0.75 and dup[2] == 0.0 and dup[3] == 0.0
+    assert dup[4] == pytest.approx(0.6, abs=1e-6)

@@ -208,3 +208,93 @@ def fingerprint_expr(text: Column) -> Column:
 def fingerprint_sql(text: str) -> str:
     norm = f"regexp_replace(lower(trim({text})), '\\s+', ' ', 'g')"
     return md5_60_sql(norm)
+
+
+# --------------------------------------------------------------------------
+# repetition signals (Gopher-style corpus-quality filters)
+# --------------------------------------------------------------------------
+
+
+def dup_token_fraction_expr(text: Column) -> Column:
+    """Fraction of tokens that repeat an earlier token: 1 - distinct/total
+    (the inverse of Gopher's unique-word fraction). Pure JVM array exprs —
+    per-row cost, no shuffle; blank text → 0.0."""
+    toks = F.split(F.trim(text), r"\s+")
+    n = token_count_expr(text)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(toks)) / n.cast("double"), 6)
+    )
+
+
+def dup_token_fraction_sql(text: str) -> str:
+    ws = f"regexp_split_to_array(trim({text}), '\\s+')"
+    n = token_count_sql(text)
+    return (
+        f"CASE WHEN ({n}) = 0 THEN 0.0 "
+        f"ELSE round(1.0 - len(list_distinct({ws})) / CAST(({n}) AS DOUBLE), 6) END"
+    )
+
+
+def top_bigram_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document top word-bigram fraction (Gopher's most-common-2-gram
+    signal): occurrences of the most frequent bigram / total bigrams.
+
+    Shape for 100 TB: explode bigrams → groupBy(id, gram) with map-side
+    partial aggregation → per-doc max/sum — a distributed histogram, never
+    an O(distinct x n) per-row scan, so a pathological repeated-phrase
+    document costs its token count, not its token count squared. Docs with
+    < 2 tokens report 0.0 over 0 bigrams (left join back to the input)."""
+    ws = docs.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("ws")
+    ).where(F.size("ws") >= 2)  # filter BEFORE explode: sequence(1, 0) descends
+    grams = ws.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+            )
+        ).alias("gram"),
+    )
+    per_doc = (
+        grams.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_bigrams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.round(
+                F.coalesce(F.col("top_cnt") / F.col("n_bigrams").cast("double"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        )
+    )
+
+
+def top_bigram_stats_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of top_bigram_stats (list comprehension + unnest +
+    the same two-level aggregate)."""
+    return f"""
+      WITH base AS (
+        SELECT {id_col}, regexp_split_to_array(trim({text_col}), '\\s+') AS ws
+        FROM {table}
+      ),
+      g AS (
+        SELECT {id_col},
+               unnest([ws[i] || ' ' || ws[i + 1] for i in generate_series(1, len(ws) - 1)]) AS gram
+        FROM base WHERE len(ws) >= 2
+      ),
+      c AS (SELECT {id_col}, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+      m AS (
+        SELECT {id_col}, max(cnt) AS top_cnt, sum(cnt) AS n_bigrams
+        FROM c GROUP BY 1
+      )
+      SELECT b.{id_col},
+             round(coalesce(top_cnt / CAST(n_bigrams AS DOUBLE), 0.0), 6) AS top_bigram_frac,
+             CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams
+      FROM base b LEFT JOIN m USING ({id_col})
+    """

@@ -1,0 +1,125 @@
+"""Budgeted corpus sampling — "give me the best N tokens per language".
+
+A training-data pipeline rarely takes a corpus whole: it takes the
+highest-priority documents per stratum (language, source, domain) until a
+token budget fills. The naive plan is one running-sum window per stratum —
+which at 100 TB funnels EVERY document of the biggest language through a
+single window task. ``token_budget_sample`` computes the identical keep
+set with a two-phase plan whose big-data stages are all partial-aggregable:
+
+1. bucket totals: groupBy(stratum, priority) → sum(tokens). Priority is
+   already quantized (round 6), so this aggregate is small and its window
+   (running sum over buckets per stratum) runs over thousands of rows, not
+   billions.
+2. bucket verdicts: a bucket is KEEP when it fits entirely inside the
+   remaining budget, DROP when the budget was already spent, BOUNDARY when
+   the budget crosses inside it. Only the boundary bucket's documents —
+   one priority value per stratum — flow through an exact per-document
+   running-sum window (ordered by the id tie-break).
+
+The result is exactly the single-window semantics: order documents by
+(priority DESC, id ASC) within each stratum and keep every prefix document
+whose cumulative token count stays <= budget. The oracle states it with
+the one-window SQL; the Spark plan never windows the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    priority_col: str = "priority",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Keep, per stratum, the (priority DESC, id ASC)-prefix of documents
+    whose running token sum stays <= budget_tokens.
+
+    docs must carry (id_col, stratum_col, priority_col, tokens_col);
+    returns (id_col, stratum_col, tokens_col, cum_tokens) for the kept
+    documents. cum_tokens is the running sum in the global per-stratum
+    order — reproducible by the naive one-window plan. Zero-token
+    documents are dropped up front (both here and in the oracle SQL):
+    they carry no budget weight, and excluding them keeps the bucket
+    verdicts exact at an exactly-exhausted budget boundary."""
+    base = docs.select(id_col, stratum_col, priority_col, tokens_col).where(
+        F.col(tokens_col) > 0
+    )
+
+    # phase 1: per-(stratum, priority) totals — tiny after partial agg
+    buckets = base.groupBy(stratum_col, priority_col).agg(
+        F.sum(tokens_col).alias("bucket_tok")
+    )
+    wb = (
+        Window.partitionBy(stratum_col)
+        .orderBy(F.desc(priority_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    buckets = buckets.withColumn(
+        "cum_before", F.sum("bucket_tok").over(wb) - F.col("bucket_tok")
+    )
+    budget = F.lit(int(budget_tokens)).cast("long")
+    keep_whole = buckets.where(F.col("cum_before") + F.col("bucket_tok") <= budget)
+    boundary = buckets.where(
+        (F.col("cum_before") < budget)
+        & (F.col("cum_before") + F.col("bucket_tok") > budget)
+    )
+
+    # fully-kept buckets: no per-document window at all, cum via the
+    # bucket offset + an id-ordered window RESTRICTED to the kept buckets
+    wd = (
+        Window.partitionBy(stratum_col, priority_col)
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept_full = (
+        base.join(
+            F.broadcast(keep_whole.select(stratum_col, priority_col, "cum_before")),
+            [stratum_col, priority_col],
+        )
+        .withColumn("cum_tokens", F.col("cum_before") + F.sum(tokens_col).over(wd))
+        .select(id_col, stratum_col, tokens_col, "cum_tokens")
+    )
+
+    # boundary bucket: the only exact per-document prefix scan — one
+    # priority value per stratum, so the window input is tiny
+    kept_edge = (
+        base.join(
+            F.broadcast(boundary.select(stratum_col, priority_col, "cum_before")),
+            [stratum_col, priority_col],
+        )
+        .withColumn("cum_tokens", F.col("cum_before") + F.sum(tokens_col).over(wd))
+        .where(F.col("cum_tokens") <= budget)
+        .select(id_col, stratum_col, tokens_col, "cum_tokens")
+    )
+    return kept_full.unionByName(kept_edge)
+
+
+def token_budget_sample_sql(
+    table: str,
+    budget_tokens: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    priority_col: str = "priority",
+    tokens_col: str = "tokens",
+) -> str:
+    """The naive ONE-WINDOW statement of the same keep set (the semantics
+    the two-phase plan must reproduce) — used as the DuckDB oracle."""
+    return f"""
+      WITH ordered AS (
+        SELECT {id_col}, {stratum_col}, {tokens_col},
+               sum({tokens_col}) OVER (
+                 PARTITION BY {stratum_col}
+                 ORDER BY {priority_col} DESC, {id_col} ASC
+                 ROWS UNBOUNDED PRECEDING
+               ) AS cum_tokens
+        FROM {table} WHERE {tokens_col} > 0
+      )
+      SELECT {id_col}, {stratum_col}, {tokens_col}, cum_tokens
+      FROM ordered WHERE cum_tokens <= {int(budget_tokens)}
+    """
