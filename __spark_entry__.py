@@ -398,6 +398,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", ta.fingerprint_expr(F.col("text")).alias("fp")
     )
 
+    def q_corpus_report(spark, sf_dir):
+        """Per-language corpus observability: doc/token totals, mean
+        quality, and how many docs are exact-content duplicates inside the
+        language — the health report a curation run prints before/after
+        each filter stage. One groupBy per aggregate level (partial-agg
+        friendly). Mean quality is summed INTEGER-scaled (quality is
+        already round-6, so x1e6 is exact) — float partial sums order
+        differently across engines and would hash-mismatch the oracle."""
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            "lang",
+            ta.quality_score_expr(F.col("text")).alias("quality"),
+            ta.token_count_expr(F.col("text")).cast("long").alias("tokens"),
+            ta.fingerprint_expr(F.col("text")).alias("fp"),
+        )
+        dupd = (
+            d.groupBy("lang", "fp")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+            .groupBy("lang")
+            .agg(F.sum("n").alias("n_dup_docs"))
+        )
+        return (
+            d.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("tokens").alias("total_tokens"),
+                F.round(
+                    F.sum(F.round(F.col("quality") * 1_000_000).cast("long"))
+                    / F.count(F.lit(1))
+                    / 1e6,
+                    6,
+                ).alias("mean_quality"),
+            )
+            .join(dupd, "lang", "left")
+            .select(
+                "lang",
+                "n_docs",
+                "total_tokens",
+                "mean_quality",
+                F.coalesce("n_dup_docs", F.lit(0)).cast("long").alias("n_dup_docs"),
+            )
+        )
+
+    q["corpus_report"] = q_corpus_report
+
     # ---------------- dedup family
     def q_meta_pairs(spark, sf_dir):
         """P9 general meta key/value extraction (extract_meta.c:8-60): every
@@ -1674,6 +1720,29 @@ def oracle_sql() -> dict[str, str]:
       )
       SELECT doc_id, lang_pred, bucket FROM s
       WHERE bucket < CASE WHEN lang_pred = 'en' THEN 500 ELSE 100 END
+    """
+
+    o["corpus_report"] = f"""
+      WITH d AS (
+        SELECT doc_id, lang,
+               {ta.quality_score_sql('text')} AS quality,
+               CAST({ta.token_count_sql('text')} AS BIGINT) AS tokens,
+               {ta.fingerprint_sql('text')} AS fp
+        FROM documents
+      ),
+      dupd AS (
+        SELECT lang, sum(n) AS n_dup_docs FROM (
+          SELECT lang, fp, count(*) AS n FROM d GROUP BY 1, 2
+        ) WHERE n > 1 GROUP BY 1
+      )
+      SELECT d.lang,
+             count(*) AS n_docs,
+             sum(tokens) AS total_tokens,
+             round(sum(CAST(round(quality * 1000000) AS BIGINT))
+                   / count(*) / 1e6, 6) AS mean_quality,
+             CAST(coalesce(any_value(dupd.n_dup_docs), 0) AS BIGINT) AS n_dup_docs
+      FROM d LEFT JOIN dupd ON d.lang = dupd.lang
+      GROUP BY d.lang
     """
 
     _rep = ta.top_bigram_stats_sql("documents")

@@ -223,6 +223,9 @@ def bench_queries(spark):
         "image_neardup_lsh": run("image_neardup_lsh"),
         "pair_keep_set": run("pair_keep_set"),
         "frame_neardup": run("frame_neardup"),
+        "audio_keep_set": run("audio_keep_set"),
+        "doc_repetition": run("doc_repetition"),
+        "token_budget_sample": run("token_budget_sample"),
     }
 
 

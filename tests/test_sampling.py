@@ -122,3 +122,31 @@ def test_repetition_signals_hand_values(spark):
     }
     assert dup[1] == 0.75 and dup[2] == 0.0 and dup[3] == 0.0
     assert dup[4] == pytest.approx(0.6, abs=1e-6)
+
+
+def test_two_phase_plan_shape(spark):
+    """Plan audit: both Window nodes sit ABOVE a broadcast join with the
+    bucket-verdict side — the full corpus is never the direct input of a
+    per-document window (the 100-TB funnel the two-phase plan exists to
+    avoid), and the bucket-level window runs over the aggregated bucket
+    frame, not documents."""
+    rows = [(f"d{i}", "en", float(i % 3), 1 + i % 5) for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "priority", "tokens"])
+    plan = token_budget_sample(df, 30)._jdf.queryExecution().executedPlan().toString()
+    # per-document windows are fed by BroadcastHashJoin (bucket verdicts),
+    # so every Window over doc rows appears after a broadcast join in the
+    # same subtree; the naive plan has a Window directly over the scan.
+    assert plan.count("Window") >= 2
+    assert "BroadcastHashJoin" in plan
+    # the naive shape would sort the WHOLE corpus by (priority, doc_id)
+    # inside one window partition; the two-phase plan only ever sorts
+    # doc rows AFTER the broadcast-join filter. Assert no Window consumes
+    # the scan without an intervening join.
+    # crude but stable: in the executedPlan tree text, every "Window" line
+    # that mentions priority DESC ordering must be preceded (deeper in the
+    # subtree, i.e., later in the printed tree) by a BroadcastHashJoin
+    # before reaching a scan of the input.
+    segments = plan.split("Window")
+    for seg in segments[1:]:
+        if "ExistingRDD" in seg or "LocalTableScan" in seg or "Scan" in seg:
+            assert "BroadcastHashJoin" in seg or "HashAggregate" in seg, seg[:400]
