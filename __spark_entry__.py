@@ -634,6 +634,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_budget_sample"] = q_token_budget_sample
 
+    def q_decontaminate(spark, sf_dir):
+        """Benchmark decontamination (curation.contamination): flag every
+        training doc sharing an 8-token n-gram with the eval split
+        (doc_id % 97 == 0 — the held-out set). The eval gram-hash set is
+        BROADCAST (eval sets are tiny; the corpus is the 100 TB side), the
+        corpus side is explode → broadcast semi-join → per-doc count. To
+        prove the cross-doc path fires, docs with doc_id % 50 == 13 are
+        augmented with the first 8 tokens of eval doc 0 — the same
+        injection built in SQL, so the oracle replays the exact report."""
+        from web_scraper_spark.functions import curation as cu
+
+        d = _docs(spark, sf_dir)
+        probe = d.filter(F.col("doc_id") == 0).select(
+            F.array_join(
+                F.slice(F.split(F.trim("text"), r"\s+"), 1, 8), " "
+            ).alias("_probe")
+        )
+        train = (
+            d.filter(F.col("doc_id") % 97 != 0)
+            .crossJoin(F.broadcast(probe))
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("doc_id") % 50 == 13,
+                    F.concat(F.col("text"), F.lit(" "), F.col("_probe")),
+                )
+                .otherwise(F.col("text"))
+                .alias("text"),
+            )
+        )
+        ev = d.filter(F.col("doc_id") % 97 == 0)
+        return cu.contamination(train, ev, n=8)
+
+    q["decontaminate"] = q_decontaminate
+
+    def q_pii_scrub(spark, sf_dir):
+        """PII detection + masking (curation.pii_*): email/IPv4 counts and
+        the masked-text fingerprint, all pure JVM regexp expressions in
+        the RE2-compatible subset both engines share. Deterministic PII is
+        injected (doc_id % 7 → an email, % 11 → two IPv4 literals) with
+        the identical CASE in SQL, so every count and every masked byte is
+        value-oracled and the scrub path provably fires."""
+        from web_scraper_spark.functions import curation as cu
+
+        d = _docs(spark, sf_dir)
+        t1 = F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" contact alice.bob@example.org today")),
+        ).otherwise(F.col("text"))
+        t = F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(t1, F.lit(" from 10.0.3.77 and 192.168.1.5")),
+        ).otherwise(t1)
+        return d.select(
+            "doc_id",
+            cu.pii_email_count_expr(t).alias("n_emails"),
+            cu.pii_ipv4_count_expr(t).alias("n_ipv4"),
+            ta.md5_60_expr(cu.pii_mask_expr(t)).alias("masked_fp"),
+        )
+
+    q["pii_scrub"] = q_pii_scrub
+
     def q_dup_clusters(spark, sf_dir):
         """Transitive dup clusters: connected components over the simhash
         near-dup graph by hash-min label propagation (driver-controlled,
@@ -736,6 +798,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["embedding_dup_clusters"] = q_embedding_dup_clusters
+
+    def q_semdedup(spark, sf_dir):
+        """SemDeDup keep-set (simsearch.semdedup_keep_ids): seed-quantizer
+        clusters (iters=0 — SQL-re-derivable), then the pigeonhole drop
+        rule inside each cluster. The scale story vs cosine_dup_pairs:
+        candidate pairs form only within a cluster (equi-join on an int
+        key), so the exact O(n²) gemm becomes O(Σ|cluster|²) — the
+        SemDeDup trade. Threshold 0.35 matches the corpus's near-dup
+        level (see q_cosine_dup_pairs); fully value-oracled."""
+        e = _emb(spark, sf_dir).withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        return simsearch.semdedup_keep_ids(
+            e, threshold=0.35, n_clusters=16, iters=0
+        )
+
+    q["semdedup"] = q_semdedup
 
     def q_cosine_to_query(spark, sf_dir):
         e = _emb(spark, sf_dir).withColumn("embedding", F.col("embedding").cast("array<double>"))
@@ -1765,6 +1844,38 @@ def oracle_sql() -> dict[str, str]:
         )""",
         20_000,
     )
+
+    from web_scraper_spark.functions import curation as _cu
+
+    _ws0 = (
+        "regexp_split_to_array(trim((SELECT text FROM documents "
+        "WHERE doc_id = 0)), '\\s+')"
+    )
+    _train_text = (
+        "CASE WHEN doc_id % 50 = 13 THEN text || ' ' || "
+        f"array_to_string({_ws0}[1:8], ' ') ELSE text END"
+    )
+    o["decontaminate"] = _cu.contamination_sql(
+        "documents", "doc_id % 97 = 0", n=8, train_text=_train_text
+    )
+
+    _pii_t = (
+        "CASE WHEN doc_id % 7 = 0 THEN text || "
+        "' contact alice.bob@example.org today' ELSE text END"
+    )
+    _pii_t = (
+        f"CASE WHEN doc_id % 11 = 0 THEN ({_pii_t}) || "
+        f"' from 10.0.3.77 and 192.168.1.5' ELSE ({_pii_t}) END"
+    )
+    o["pii_scrub"] = f"""
+      SELECT doc_id,
+             {_cu.pii_email_count_sql(f'({_pii_t})')} AS n_emails,
+             {_cu.pii_ipv4_count_sql(f'({_pii_t})')} AS n_ipv4,
+             {ta.md5_60_sql(_cu.pii_mask_sql(f'({_pii_t})'))} AS masked_fp
+      FROM documents
+    """
+
+    o["semdedup"] = simsearch.semdedup_sql(threshold=0.35, n_clusters=16)
 
     # the composite pipeline: score + filter the unioned corpus, run the
     # keep-set SQL over the filtered subquery, re-attach the scores

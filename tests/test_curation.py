@@ -1,0 +1,214 @@
+"""Curation operators: decontamination, PII scrub, SemDeDup.
+
+Unit-level contracts beyond the entry oracle (which already value-checks
+all three at sf0.01): n-gram edge cases, hand-computable contamination,
+PII boundary behavior, and the SemDeDup pigeonhole invariants on planted
+duplicates.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import Row, functions as F
+
+from web_scraper_spark.functions import curation as cu, simsearch as ss
+from web_scraper_spark.functions.textanalysis import md5_60_expr
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _grams(spark, text, n):
+    df = spark.createDataFrame([Row(text=text)])
+    return df.select(cu.token_ngrams_expr(F.col("text"), n).alias("g")).head()["g"]
+
+
+class TestTokenNgrams:
+    def test_basic(self, spark):
+        assert _grams(spark, "a b c d", 3) == ["a b c", "b c d"]
+
+    def test_short_and_blank(self, spark):
+        # < n tokens and blank/whitespace text all yield EMPTY (the
+        # sequence(1, negative) descend pitfall would emit junk instead)
+        assert _grams(spark, "a b", 3) == []
+        assert _grams(spark, "", 3) == []
+        assert _grams(spark, "   ", 3) == []
+
+    def test_exactly_n_tokens(self, spark):
+        assert _grams(spark, "x y z", 3) == ["x y z"]
+
+    def test_distinct(self, spark):
+        # repeated n-gram counted once (matched_grams is a distinct count)
+        assert _grams(spark, "a b a b a b", 2) == ["a b", "b a"]
+
+    def test_duckdb_twin_matches(self, spark):
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{DOCS}'")
+        d = spark.read.parquet(DOCS)
+        got = {
+            r["doc_id"]: list(r["g"])
+            for r in d.select(
+                "doc_id", cu.token_ngrams_expr(F.col("text"), 8).alias("g")
+            ).collect()
+        }
+        want = {
+            r[0]: list(r[1])
+            for r in con.sql(
+                f"SELECT doc_id, {cu.token_ngrams_sql('text', 8)} FROM documents"
+            ).fetchall()
+        }
+        assert got == want
+
+
+class TestContamination:
+    def test_hand_case(self, spark):
+        train = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+                Row(doc_id=2, text="completely unrelated words appear here only now"),
+                Row(doc_id=3, text="quick brown fox jumps over the lazy dog again"),
+            ]
+        )
+        ev = spark.createDataFrame(
+            [Row(doc_id=100, text="lead-in quick brown fox jumps over the lazy dog")]
+        )
+        out = {
+            r["doc_id"]: (r["matched_grams"], r["contaminated"])
+            for r in cu.contamination(train, ev, n=8).collect()
+        }
+        # eval grams (n=8): 'lead-in quick…lazy' and 'quick…lazy dog'
+        # doc 1 windows include 'quick brown fox jumps over the lazy dog'
+        assert out[1] == (1, True)
+        assert out[2] == (0, False)
+        assert out[3] == (1, True)
+
+    def test_empty_eval_all_clean(self, spark):
+        train = spark.createDataFrame([Row(doc_id=1, text="a b c d e f g h i")])
+        ev = train.filter("doc_id < 0")
+        out = cu.contamination(train, ev, n=8).collect()
+        assert [(r["matched_grams"], r["contaminated"]) for r in out] == [(0, False)]
+
+    def test_eval_side_is_broadcast(self, spark):
+        # the 100 TB shape: eval gram set must broadcast, never shuffle
+        # the corpus side on a corpus-sized key
+        train = spark.read.parquet(DOCS)
+        ev = train.filter("doc_id % 97 = 0")
+        plan = (
+            cu.contamination(train, ev, n=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+
+class TestPii:
+    @pytest.mark.parametrize(
+        "text,emails,ips",
+        [
+            ("mail bob@x.org and eve@sub.example.co.uk now", 2, 0),
+            ("host 10.0.0.1 peer 192.168.1.255", 0, 2),
+            ("no pii here at all", 0, 0),
+            # a 4-digit tail is not an IPv4 octet (word boundary holds)
+            ("not an ip 1.2.3.4567 ok", 0, 0),
+            ("edge 1.2.3.4", 0, 1),
+        ],
+    )
+    def test_counts(self, spark, text, emails, ips):
+        df = spark.createDataFrame([Row(t=text)])
+        r = df.select(
+            cu.pii_email_count_expr(F.col("t")).alias("e"),
+            cu.pii_ipv4_count_expr(F.col("t")).alias("i"),
+        ).head()
+        assert (r["e"], r["i"]) == (emails, ips)
+
+    def test_mask_order_email_first(self, spark):
+        # the dotted hostname inside an address must not be half-eaten by
+        # the IP pass: '<EMAIL>' masks the whole address
+        df = spark.createDataFrame([Row(t="x bob@10.0.0.1.example.com y 10.0.0.1 z")])
+        got = df.select(cu.pii_mask_expr(F.col("t")).alias("m")).head()["m"]
+        assert got == "x <EMAIL> y <IP> z"
+
+    def test_mask_matches_duckdb(self, spark):
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{DOCS}'")
+        aug = (
+            "text || ' contact a.b@example.org or 172.16.254.3 today'"
+        )
+        want = dict(
+            con.sql(
+                f"SELECT doc_id, {cu.pii_mask_sql(f'({aug})')} FROM documents"
+            ).fetchall()
+        )
+        d = spark.read.parquet(DOCS)
+        got = dict(
+            d.select(
+                "doc_id",
+                cu.pii_mask_expr(
+                    F.concat(
+                        F.col("text"),
+                        F.lit(" contact a.b@example.org or 172.16.254.3 today"),
+                    )
+                ),
+            ).collect()
+        )
+        assert got == want
+
+
+class TestSemDeDup:
+    @pytest.fixture(scope="class")
+    def planted(self, spark):
+        # 40 near-orthogonal base vectors + 10 exact copies of vectors
+        # 0..9 under new ids 1000.. (every copy must be dropped: cosine 1.0
+        # to a smaller id that lands in the SAME cluster — identical
+        # vectors always share a nearest centroid)
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(40, 16)).astype(float)
+        rows = [Row(vec_id=i, embedding=[float(x) for x in base[i]]) for i in range(40)]
+        rows += [
+            Row(vec_id=1000 + i, embedding=[float(x) for x in base[i]])
+            for i in range(10)
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_planted_copies_dropped(self, planted):
+        kept = ss.semdedup_keep_ids(planted, threshold=0.999, n_clusters=4, iters=0)
+        ids = {r["vec_id"] for r in kept.collect()}
+        assert all(1000 + i not in ids for i in range(10))
+        assert all(i in ids for i in range(40))
+
+    def test_pigeonhole_invariants(self, planted):
+        thr = 0.999
+        kept = ss.semdedup_keep_ids(planted, threshold=thr, n_clusters=4, iters=0)
+        rows = {r["vec_id"]: r["cluster"] for r in kept.collect()}
+        vecs = {r["vec_id"]: list(r["embedding"]) for r in planted.collect()}
+        import numpy as np
+
+        def cos(a, b):
+            a, b = np.array(vecs[a]), np.array(vecs[b])
+            return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+        kept_ids = sorted(rows)
+        # no surviving within-cluster pair at/above threshold
+        for i, a in enumerate(kept_ids):
+            for b in kept_ids[i + 1 :]:
+                if rows[a] == rows[b]:
+                    assert cos(a, b) < thr
+        # every drop is justified by a smaller same-cluster near-dup
+        dropped = set(vecs) - set(rows)
+        assert dropped == {1000 + i for i in range(10)}
+
+    def test_lloyd_refined_runs(self, planted):
+        # iters>0 (float-averaged centroids) stays a pytest-only contract
+        kept = ss.semdedup_keep_ids(planted, threshold=0.999, n_clusters=4, iters=2)
+        ids = {r["vec_id"] for r in kept.collect()}
+        assert all(1000 + i not in ids for i in range(10))
+
+    def test_join_is_cluster_equi_join(self, planted):
+        plan = (
+            ss.semdedup_keep_ids(planted, threshold=0.9, n_clusters=4, iters=0)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan

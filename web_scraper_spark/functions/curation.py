@@ -1,0 +1,187 @@
+"""Corpus-curation operators: benchmark decontamination and PII scrubbing.
+
+Two training-data-pipeline stages the reference's analyzer surface
+(content_analyzer.c:215-417 — sentiment/keyword extraction over fetched
+pages) stops short of, but that any corpus feeding a model needs before
+the tokenizer sees a byte:
+
+- **Decontamination** — drop/flag training documents that share a long
+  token n-gram with an evaluation set (the standard 13-gram collision
+  rule from the LM-eval literature, parametrized here). The Spark shape
+  is scale-asymmetric on purpose: eval sets are tiny (thousands of
+  items) while the training corpus is the 100 TB side, so the eval
+  n-gram hash set is BROADCAST and the corpus side is one explode +
+  broadcast-hash semi-join + per-doc count — no shuffle of corpus grams,
+  no driver collect of corpus data.
+
+- **PII scrub** — detect and mask email addresses and IPv4 literals with
+  pure JVM regexp expressions (count + replace); no Python in the hot
+  path. Patterns are written in the RE2-compatible subset shared by
+  Java's regex engine and DuckDB, so the *_sql twins replay the exact
+  decision and the driver's oracle verifies mask + counts value-for-value.
+
+House pattern: every operator is a paired ``*_expr``/``*_sql`` (or
+DataFrame op + ``*_sql``) builder generated from the same constants —
+see functions/textanalysis.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from web_scraper_spark.functions.textanalysis import md5_60_expr, md5_60_sql
+
+# --------------------------------------------------------------------------
+# token n-grams (decontamination unit)
+# --------------------------------------------------------------------------
+
+
+def token_ngrams_expr(text: Column, n: int = 8) -> Column:
+    """Distinct space-joined token n-grams of the document, sorted for
+    determinism; fewer than n tokens (or blank text) → empty array.
+    Native sequence/transform/slice — no Python. The >=n guard runs
+    BEFORE sequence(): sequence(1, size-n+1) with a negative end would
+    DESCEND (same pitfall pinned in top_bigram_stats)."""
+    ws = F.split(F.trim(text), r"\s+")
+    idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(ws, i, F.lit(n)), " "))
+    return F.when(
+        (F.length(F.trim(text)) > 0) & (F.size(ws) >= n),
+        F.array_sort(F.array_distinct(grams)),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
+def token_ngrams_sql(text: str, n: int = 8) -> str:
+    """DuckDB twin (list comprehension over 1-based inclusive slices)."""
+    ws = f"regexp_split_to_array(trim({text}), '\\s+')"
+    return (
+        f"CASE WHEN length(trim({text})) > 0 AND len({ws}) >= {n} THEN "
+        f"list_sort(list_distinct([array_to_string({ws}[i:i+{n - 1}], ' ') "
+        f"for i in generate_series(1, len({ws}) - {n - 1})])) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------------
+
+
+def contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-training-document contamination report against an eval set.
+
+    Returns (id, matched_grams, contaminated): matched_grams = how many
+    DISTINCT token n-grams of the training document also occur anywhere
+    in the eval set (token_ngrams_expr already dedups per doc, so the
+    per-doc count is a distinct-gram count); contaminated = any hit.
+
+    100 TB shape: the eval side reduces to a distinct 60-bit gram-hash
+    set (thousands of rows) that is explicitly ``broadcast()``; the
+    corpus side is explode → hash → broadcast-hash join → per-doc count
+    with map-side partial aggregation. The corpus never shuffles its
+    grams on a corpus-sized key, and nothing corpus-sized reaches the
+    driver. A doc with zero hits is reported with 0 via the left join
+    back to the input ids (the report is total, not sparse).
+    """
+    ev = (
+        eval_docs.select(F.explode(token_ngrams_expr(F.col(text_col), n)).alias("g"))
+        .select(md5_60_expr(F.col("g")).alias("g"))
+        .distinct()
+    )
+    tg = train.select(
+        F.col(id_col), F.explode(token_ngrams_expr(F.col(text_col), n)).alias("g")
+    ).select(id_col, md5_60_expr(F.col("g")).alias("g"))
+    hits = tg.join(F.broadcast(ev), "g").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("matched_grams")
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("matched_grams", F.lit(0)).cast("long").alias("matched_grams"),
+            (F.coalesce("matched_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def contamination_sql(
+    table: str,
+    eval_pred: str,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_text: str | None = None,
+) -> str:
+    """DuckDB ground truth: eval = rows of ``table`` WHERE eval_pred,
+    train = the rest (optionally with ``train_text`` — an expression over
+    the base table's columns — standing in for the training text, so an
+    entry query that augments/injects text stays oracle-exact)."""
+    t_text = train_text if train_text is not None else text_col
+    return f"""
+WITH ev AS (
+  SELECT DISTINCT {md5_60_sql("g")} AS g FROM (
+    SELECT unnest({token_ngrams_sql(text_col, n)}) AS g
+    FROM {table} WHERE {eval_pred}
+  )
+), train AS (
+  SELECT {id_col}, {t_text} AS _t FROM {table} WHERE NOT ({eval_pred})
+), tg AS (
+  SELECT {id_col}, {md5_60_sql("g")} AS g FROM (
+    SELECT {id_col}, unnest({token_ngrams_sql("_t", n)}) AS g FROM train
+  )
+), hits AS (
+  SELECT {id_col}, count(*) AS matched FROM tg JOIN ev USING (g) GROUP BY 1
+)
+SELECT t.{id_col},
+       CAST(coalesce(matched, 0) AS BIGINT) AS matched_grams,
+       coalesce(matched, 0) > 0 AS contaminated
+FROM train t LEFT JOIN hits USING ({id_col})
+"""
+
+
+# --------------------------------------------------------------------------
+# PII detection + masking
+# --------------------------------------------------------------------------
+
+# RE2-compatible subset (no backrefs/lookaround) — identical semantics in
+# Java regex (Spark) and RE2 (DuckDB). \\b is the ASCII word boundary in
+# both engines.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+
+
+def pii_email_count_expr(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(EMAIL_PATTERN)).cast("long")
+
+
+def pii_ipv4_count_expr(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(IPV4_PATTERN)).cast("long")
+
+
+def pii_mask_expr(text: Column) -> Column:
+    """Masked text: emails → <EMAIL>, then IPv4 literals → <IP>.
+    Email masking runs FIRST so a dotted hostname inside an address can't
+    be half-rewritten by the IP pass."""
+    no_email = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(no_email, IPV4_PATTERN, "<IP>")
+
+
+def pii_email_count_sql(text: str) -> str:
+    return f"CAST(len(regexp_extract_all({text}, '{EMAIL_PATTERN}')) AS BIGINT)"
+
+
+def pii_ipv4_count_sql(text: str) -> str:
+    return f"CAST(len(regexp_extract_all({text}, '{IPV4_PATTERN}')) AS BIGINT)"
+
+
+def pii_mask_sql(text: str) -> str:
+    no_email = f"regexp_replace({text}, '{EMAIL_PATTERN}', '<EMAIL>', 'g')"
+    return f"regexp_replace({no_email}, '{IPV4_PATTERN}', '<IP>', 'g')"

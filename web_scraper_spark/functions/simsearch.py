@@ -639,3 +639,105 @@ SELECT q_id, vec_id, cosine,
          PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
 FROM scored QUALIFY rank <= {k}
 """
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (cluster-scoped semantic dedup)
+# --------------------------------------------------------------------------
+
+
+def semdedup_keep_ids(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Semantic dedup keep-set (SemDeDup, Abbas et al. 2023): cluster the
+    embeddings, then inside each cluster drop every vector whose cosine to
+    a SMALLER-id cluster-mate reaches the threshold. Returns the kept
+    (id, cluster) rows.
+
+    Cluster scoping is the whole point at 100 TB: the exact all-pairs
+    baseline (cosine_dup_pairs) is O(n²·dim) FLOPs, while here candidate
+    pairs only form inside a cluster — an equi-join on cluster id, never
+    cartesian, with per-key fan-out bounded by the cluster size (pick
+    n_clusters ∝ corpus size to hold (n/k)² per key; skewed clusters are
+    AQE-splittable because the join key is a plain int). Cross-cluster
+    near-dups are invisible by construction — the documented recall trade
+    the paper makes.
+
+    Determinism/oracle: with iters=0 the centroids are the seed quantizer
+    (the n_clusters vectors with the smallest (md5(id), id) — pure data
+    selection, no float averaging), assignment replays the engine-wide
+    round(cosine, 6)-then-argmax rule, and the drop rule compares the
+    ROUND(,6) cosine — so semdedup_sql re-derives the exact keep-set in
+    DuckDB. Lloyd-refined centroids (iters>0) stay a pytest-only contract
+    (float-sum order), same split as ivf_flat_topk_sql.
+
+    The keep rule is the pigeonhole convention of the whole keep-set
+    family (dedup_keep_ids, pair_keep_ids, clip_keep_ids): drop b iff
+    ∃ a < b with sim(a, b) ≥ threshold — one survivor per dup pair, no
+    transitive closure (that's embedding_dup_clusters' job).
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, n_clusters, iters, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        nearest_centroid_expr(F.col(vec_col), centroids).alias("cluster"),
+    )
+    a = c.select(F.col(id_col).alias("_ida"), F.col("_v").alias("_va"), "cluster")
+    b = c.select(F.col(id_col).alias("_idb"), F.col("_v").alias("_vb"), "cluster")
+    drops = (
+        a.join(b, "cluster")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return c.join(drops, id_col, "left_anti").select(id_col, "cluster")
+
+
+def semdedup_sql(
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB ground truth for semdedup_keep_ids(iters=0): same seed-
+    quantizer centroid CTEs as ivf_flat_topk_sql, then the within-cluster
+    pigeonhole drop rule."""
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS vec_id, CAST({vec_col} AS DOUBLE[]) AS embedding FROM {table}
+), cent AS (
+  SELECT row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+         ) - 1 AS ci,
+         embedding AS cvec
+  FROM d
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+  LIMIT {n_clusters}
+), asgn AS (
+  SELECT vec_id, embedding, ci AS cluster FROM (
+    SELECT e.vec_id, e.embedding, c.ci,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding, c.cvec), 6) DESC,
+                      c.ci ASC) AS rn
+    FROM d e CROSS JOIN cent c
+  ) WHERE rn = 1
+), drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM asgn a JOIN asgn b USING (cluster)
+  WHERE a.vec_id < b.vec_id
+    AND round(list_cosine_similarity(a.embedding, b.embedding), 6) >= {threshold}
+)
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster
+FROM asgn
+WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+"""
