@@ -226,6 +226,9 @@ def bench_queries(spark):
         "audio_keep_set": run("audio_keep_set"),
         "doc_repetition": run("doc_repetition"),
         "token_budget_sample": run("token_budget_sample"),
+        "decontaminate": run("decontaminate"),
+        "pii_scrub": run("pii_scrub"),
+        "semdedup": run("semdedup"),
     }
 
 
