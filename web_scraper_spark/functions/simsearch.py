@@ -662,12 +662,13 @@ def semdedup_keep_ids(
 
     Cluster scoping is the whole point at 100 TB: the exact all-pairs
     baseline (cosine_dup_pairs) is O(n²·dim) FLOPs, while here candidate
-    pairs only form inside a cluster — an equi-join on cluster id, never
-    cartesian, with per-key fan-out bounded by the cluster size (pick
-    n_clusters ∝ corpus size to hold (n/k)² per key; skewed clusters are
-    AQE-splittable because the join key is a plain int). Cross-cluster
-    near-dups are invisible by construction — the documented recall trade
-    the paper makes.
+    pairs only form inside a cluster — one hash-shuffle on the int
+    cluster key, then ONE numpy gemm per cluster task (vectorized Arrow
+    batches, never a cartesian join and never per-row Python). Task
+    memory is (|cluster|)² doubles, so n_clusters scales ∝ corpus size —
+    the same executor-sizing rule as cosine_dup_pairs' n_blocks.
+    Cross-cluster near-dups are invisible by construction — the
+    documented recall trade the paper makes.
 
     Determinism/oracle: with iters=0 the centroids are the seed quantizer
     (the n_clusters vectors with the smallest (md5(id), id) — pure data
@@ -682,6 +683,8 @@ def semdedup_keep_ids(
     ∃ a < b with sim(a, b) ≥ threshold — one survivor per dup pair, no
     transitive closure (that's embedding_dup_clusters' job).
     """
+    import pandas as pd
+
     if centroids is None:
         centroids = kmeans_centroids(corpus, n_clusters, iters, id_col, vec_col)
     c = corpus.select(
@@ -689,14 +692,28 @@ def semdedup_keep_ids(
         F.col(vec_col).alias("_v"),
         nearest_centroid_expr(F.col(vec_col), centroids).alias("cluster"),
     )
-    a = c.select(F.col(id_col).alias("_ida"), F.col("_v").alias("_va"), "cluster")
-    b = c.select(F.col(id_col).alias("_idb"), F.col("_v").alias("_vb"), "cluster")
+    # Within-cluster pair scoring as ONE numpy gemm per cluster task (the
+    # same vectorized-Arrow shape as cosine_dup_pairs; the interpreted
+    # zip_with/aggregate HOF is ~40x slower on n² work). round(,6) BEFORE
+    # the threshold test keeps the boundary decision oracle-identical.
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def _drops(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        ids = pdf["_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"_id": ids[:0]})
+        A = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        An = A / (np.linalg.norm(A, axis=1, keepdims=True) + 1e-30)
+        S = np.round(An @ An.T, 6)
+        hit = (S >= threshold) & np.triu(np.ones_like(S, dtype=bool), k=1)
+        return pd.DataFrame({"_id": ids[hit.any(axis=0)]})
+
     drops = (
-        a.join(b, "cluster")
-        .filter(F.col("_ida") < F.col("_idb"))
-        .filter(F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6) >= threshold)
-        .select(F.col("_idb").alias(id_col))
-        .distinct()
+        c.select(F.col(id_col).alias("_id"), "_v", "cluster")
+        .groupBy("cluster")
+        .applyInPandas(_drops, f"_id {id_type}")
+        .select(F.col("_id").alias(id_col))
     )
     return c.join(drops, id_col, "left_anti").select(id_col, "cluster")
 
