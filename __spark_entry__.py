@@ -696,6 +696,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pii_scrub"] = q_pii_scrub
 
+    def q_curation_pipeline(spark, sf_dir):
+        """The END-TO-END curation pipeline as one operator
+        (curation.curate_corpus): quality+repetition filter → benchmark
+        decontamination → exact+near dedup → per-language 600-token budget
+        selection → PII mask. Every failure path provably fires: PII is
+        injected on doc_id % 7 / % 11, an eval 8-gram on % 50 == 13, ten
+        byte-identical duplicates at +100000, and the eval split
+        (doc_id % 97 == 0) is held out; the identical injections are built
+        in SQL, so the composite — including every masked byte, via
+        masked_fp — is value-oracled end to end."""
+        from web_scraper_spark.functions import curation as cu
+
+        d = _docs(spark, sf_dir)
+        probe = d.filter(F.col("doc_id") == 0).select(
+            F.array_join(
+                F.slice(F.split(F.trim("text"), r"\s+"), 1, 8), " "
+            ).alias("_probe")
+        )
+        t1 = F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" contact alice.bob@example.org today")),
+        ).otherwise(F.col("text"))
+        t2 = F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(t1, F.lit(" from 10.0.3.77 and 192.168.1.5")),
+        ).otherwise(t1)
+        t3 = F.when(
+            F.col("doc_id") % 50 == 13,
+            F.concat(t2, F.lit(" "), F.col("_probe")),
+        ).otherwise(t2)
+        inj = d.crossJoin(F.broadcast(probe)).select(
+            "doc_id", "lang", t3.alias("text")
+        )
+        dup = (
+            inj.orderBy("doc_id")
+            .limit(10)
+            .withColumn("doc_id", F.col("doc_id") + 100000)
+        )
+        train = inj.unionByName(dup).filter(F.col("doc_id") % 97 != 0)
+        ev = d.filter(F.col("doc_id") % 97 == 0).select("text")
+        out = cu.curate_corpus(
+            train,
+            ev,
+            quality_min=0.9,
+            dup_frac_max=0.55,
+            max_hamming=3,
+            budget_tokens=600,
+        )
+        return out.select(
+            "doc_id",
+            "lang",
+            "quality",
+            "n_tokens",
+            "cum_tokens",
+            ta.md5_60_expr(F.col("masked_text")).alias("masked_fp"),
+        )
+
+    q["curation_pipeline"] = q_curation_pipeline
+
     def q_dup_clusters(spark, sf_dir):
         """Transitive dup clusters: connected components over the simhash
         near-dup graph by hash-min label propagation (driver-controlled,
@@ -1876,6 +1935,34 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["semdedup"] = simsearch.semdedup_sql(threshold=0.35, n_clusters=16)
+
+    # curation_pipeline: the same injections as pii_scrub + decontaminate
+    # (emails on % 7, IPv4 on % 11, the eval 8-gram on % 50 == 13), ten
+    # byte-identical +100000 duplicates, eval split held out AFTER the
+    # union (dup ids are checked too, exactly as the Spark side filters
+    # the unioned frame) — then the one-statement ground truth of the
+    # five-stage pipeline (curation.curate_corpus_sql).
+    _cur_t3 = (
+        f"CASE WHEN doc_id % 50 = 13 THEN ({_pii_t}) || ' ' || "
+        f"array_to_string({_ws0}[1:8], ' ') ELSE ({_pii_t}) END"
+    )
+    _cur_train = f"""(
+      SELECT * FROM (
+        WITH _cinj AS (SELECT doc_id, lang, {_cur_t3} AS text FROM documents)
+        SELECT doc_id, lang, text FROM _cinj
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, lang, text
+        FROM (SELECT * FROM _cinj ORDER BY doc_id LIMIT 10)
+      ) WHERE doc_id % 97 <> 0
+    )"""
+    o["curation_pipeline"] = _cu.curate_corpus_sql(
+        _cur_train,
+        "(SELECT text FROM documents WHERE doc_id % 97 = 0)",
+        quality_min=0.9,
+        dup_frac_max=0.55,
+        max_hamming=3,
+        budget_tokens=600,
+    )
 
     # the composite pipeline: score + filter the unioned corpus, run the
     # keep-set SQL over the filtered subquery, re-attach the scores

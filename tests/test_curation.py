@@ -212,3 +212,55 @@ class TestSemDeDup:
             .toString()
         )
         assert "CartesianProduct" not in plan
+
+
+class TestCurateCorpus:
+    """curate_corpus end-to-end on a hand-built corpus: one doc per drop
+    path, each assertion naming the stage that must have fired."""
+
+    def _run(self, spark, budget=None):
+        base = " ".join(f"w{i}" for i in range(40))  # 40 distinct tokens
+        rows = [
+            Row(doc_id=1, lang="en", text=base + " alpha"),           # survives
+            Row(doc_id=2, lang="en", text=base + " beta"),            # survives
+            Row(doc_id=3, lang="en", text=base + " alpha"),           # exact dup of 1
+            Row(doc_id=4, lang="en", text="x " * 60),                 # repetition drop
+            Row(doc_id=5, lang="en",
+                text=base + " e1 e2 e3 e4 e5 e6 e7 e8"),              # contaminated
+            Row(doc_id=6, lang="fr", text=base + " gamma"),           # survives (fr)
+        ]
+        ev = [Row(text=" ".join(f"e{i}" for i in range(1, 21)))]
+        out = cu.curate_corpus(
+            spark.createDataFrame(rows),
+            spark.createDataFrame(ev),
+            quality_min=0.0,
+            dup_frac_max=0.5,
+            max_hamming=0,
+            budget_tokens=budget,
+        )
+        return {r["doc_id"]: r for r in out.collect()}
+
+    def test_each_stage_fires(self, spark):
+        got = self._run(spark)
+        # 4 dropped by dup-token-fraction, 5 by decontamination, 3 by
+        # exact dedup (keep-first → 1 survives)
+        assert set(got) == {1, 2, 6}
+        assert got[1]["n_tokens"] == 41
+        # PII mask is a pass-through when there is no PII
+        assert got[1]["masked_text"].endswith(" alpha")
+
+    def test_budget_cuts_per_stratum(self, spark):
+        # 41-token docs; budget 41 keeps exactly one doc per stratum —
+        # for 'en' the min-id tiebreak (equal quality) keeps doc 1
+        got = self._run(spark, budget=41)
+        assert set(got) == {1, 6}
+        assert got[1]["cum_tokens"] == 41
+
+    def test_pii_masked_in_output(self, spark):
+        rows = [Row(doc_id=1, lang="en",
+                    text="write to a.b@c.org from 10.0.0.1 now please ok")]
+        out = cu.curate_corpus(
+            spark.createDataFrame(rows), None,
+            quality_min=0.0, dup_frac_max=1.0, max_hamming=0,
+        ).collect()
+        assert out[0]["masked_text"] == "write to <EMAIL> from <IP> now please ok"

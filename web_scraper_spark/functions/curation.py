@@ -185,3 +185,170 @@ def pii_ipv4_count_sql(text: str) -> str:
 def pii_mask_sql(text: str) -> str:
     no_email = f"regexp_replace({text}, '{EMAIL_PATTERN}', '<EMAIL>', 'g')"
     return f"regexp_replace({no_email}, '{IPV4_PATTERN}', '<IP>', 'g')"
+
+
+# --------------------------------------------------------------------------
+# end-to-end curation pipeline
+# --------------------------------------------------------------------------
+
+
+def curate_corpus(
+    train: DataFrame,
+    eval_docs: DataFrame | None = None,
+    *,
+    quality_min: float = 0.9,
+    dup_frac_max: float = 0.55,
+    max_hamming: int = 3,
+    budget_tokens: int | None = None,
+    ngram_n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """The full text-curation pipeline a training run feeds from, as ONE
+    operator: quality/repetition filter → benchmark decontamination →
+    exact+near dedup keep-set → per-stratum token-budget selection → PII
+    mask. The reference stops at per-page analysis
+    (content_analyzer.c:215-417); this is the corpus-level end product.
+
+    Returns the selected documents as (id, stratum, quality, n_tokens,
+    cum_tokens, masked_text). With budget_tokens=None the budget stage is
+    skipped and cum_tokens is the per-stratum quality-ordered running sum
+    over ALL survivors (same window semantics, no cut).
+
+    100 TB shape — every stage is an already-proven kernel, composed
+    without adding a single new shuffle family:
+      * scoring/filtering: pure JVM codegen exprs pushed onto the scan;
+      * decontamination: eval gram set BROADCAST, corpus explodes only its
+        own grams (contamination());
+      * dedup: fingerprint groupBy + banded simhash self-join, never
+        all-pairs (dedupops.dedup_keep_ids);
+      * budget: two-phase bucket-verdict sampler — only the
+        budget-crossing priority bucket crosses a per-doc window
+        (sampling.token_budget_sample);
+      * PII mask: JVM regexp_replace on the already-selected survivors
+        only (mask work is proportional to the OUTPUT, not the corpus).
+    The one multi-consumer frame (post-decontamination survivors) is
+    persisted through the size-bounded op-cache registry; callers release
+    it with dedupops.unpersist_op_caches() between corpora.
+    """
+    from web_scraper_spark.functions import dedupops
+    from web_scraper_spark.functions import textanalysis as ta
+    from web_scraper_spark.operators.sampling import token_budget_sample
+
+    scored = train.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        F.col(text_col),
+        ta.quality_score_expr(F.col(text_col)).alias("quality"),
+        ta.token_count_expr(F.col(text_col)).cast("long").alias("n_tokens"),
+        ta.dup_token_fraction_expr(F.col(text_col)).alias("_dup_frac"),
+    ).filter(
+        (F.col("quality") >= quality_min) & (F.col("_dup_frac") <= dup_frac_max)
+    )
+    if eval_docs is not None:
+        # scored feeds the contamination explode AND the survivor
+        # semi-join — cache it so the scan+score subtree runs once
+        scored = dedupops.register_op_cache(scored)
+        rep = contamination(
+            scored, eval_docs, n=ngram_n, id_col=id_col, text_col=text_col
+        )
+        scored = scored.join(
+            rep.filter(~F.col("contaminated")).select(id_col), id_col, "left_semi"
+        )
+    clean = dedupops.register_op_cache(scored)
+    keep = dedupops.dedup_keep_ids(
+        clean, max_hamming=max_hamming, id_col=id_col, text_col=text_col
+    )
+    deduped = clean.join(keep, id_col, "left_semi").select(
+        id_col,
+        stratum_col,
+        "quality",
+        "n_tokens",
+        pii_mask_expr(F.col(text_col)).alias("masked_text"),
+    )
+    pri = deduped.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        F.col("quality").alias("priority"),
+        F.col("n_tokens").alias("tokens"),
+    )
+    budget = budget_tokens if budget_tokens is not None else (1 << 62)
+    kept = token_budget_sample(
+        pri, budget, stratum_col=stratum_col, id_col=id_col
+    )
+    return deduped.join(kept.select(id_col, "cum_tokens"), id_col).select(
+        id_col, stratum_col, "quality", "n_tokens", "cum_tokens", "masked_text"
+    )
+
+
+def curate_corpus_sql(
+    train: str,
+    eval_table: str,
+    *,
+    quality_min: float = 0.9,
+    dup_frac_max: float = 0.55,
+    max_hamming: int = 3,
+    budget_tokens: int | None = None,
+    ngram_n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratum_col: str = "lang",
+) -> str:
+    """DuckDB ground truth for curate_corpus: the same five stages stated
+    naively (all-pairs dedup, one-window budget scan). ``train`` /
+    ``eval_table`` are table names or parenthesized subqueries; train must
+    expose (id, stratum, text), eval_table must expose text. The masked
+    text is reported as its md5-60 fingerprint (``masked_fp``) so every
+    masked byte is value-checked without shipping full text through the
+    comparator — the Spark caller applies the same fingerprint to
+    curate_corpus's ``masked_text`` column."""
+    from web_scraper_spark.functions import dedupops
+    from web_scraper_spark.functions import textanalysis as ta
+    from web_scraper_spark.operators.sampling import token_budget_sample_sql
+
+    budget = budget_tokens if budget_tokens is not None else (1 << 62)
+    budget_sql = token_budget_sample_sql(
+        f"(SELECT {id_col}, {stratum_col}, quality AS priority,"
+        f" n_tokens AS tokens FROM deduped)",
+        budget,
+        stratum_col=stratum_col,
+        id_col=id_col,
+    )
+    return f"""
+WITH scored AS (
+  SELECT {id_col}, {stratum_col}, {text_col},
+         {ta.quality_score_sql(text_col)} AS quality,
+         CAST({ta.token_count_sql(text_col)} AS BIGINT) AS n_tokens,
+         {ta.dup_token_fraction_sql(text_col)} AS _dup_frac
+  FROM {train}
+),
+filtered AS (
+  SELECT * FROM scored
+  WHERE quality >= {quality_min} AND _dup_frac <= {dup_frac_max}
+),
+ev AS (
+  SELECT DISTINCT {md5_60_sql('g')} AS g FROM (
+    SELECT unnest({token_ngrams_sql(text_col, ngram_n)}) AS g
+    FROM {eval_table}
+  )
+),
+tg AS (
+  SELECT {id_col}, {md5_60_sql('g')} AS g FROM (
+    SELECT {id_col}, unnest({token_ngrams_sql(text_col, ngram_n)}) AS g
+    FROM filtered
+  )
+),
+contam AS (SELECT DISTINCT {id_col} FROM tg JOIN ev USING (g)),
+clean AS (
+  SELECT * FROM filtered
+  WHERE {id_col} NOT IN (SELECT {id_col} FROM contam)
+),
+keep AS ({dedupops.dedup_keep_ids_sql(max_hamming=max_hamming, table='clean',
+                                      id_col=id_col, text_col=text_col)}),
+deduped AS (SELECT c.* FROM clean c JOIN keep k USING ({id_col})),
+sampled AS ({budget_sql})
+SELECT s.{id_col}, s.{stratum_col}, d.quality, d.n_tokens, s.cum_tokens,
+       {md5_60_sql(pii_mask_sql('d.' + text_col))} AS masked_fp
+FROM sampled s JOIN deduped d USING ({id_col})
+"""
