@@ -229,6 +229,7 @@ def bench_queries(spark):
         "decontaminate": run("decontaminate"),
         "pii_scrub": run("pii_scrub"),
         "semdedup": run("semdedup"),
+        "curation_pipeline": run("curation_pipeline"),
     }
 
 

@@ -598,3 +598,98 @@ class TestStreamingRobotsAndFailures:
         urls3 = {r["url"] for r in spark.read.parquet(pages).collect()}
         fails3 = {r["url"] for r in spark.read.parquet(fails_dir).collect()}
         assert target in (urls3 | fails3)
+
+
+class TestStreamingCuration:
+    def test_stage_drops_and_mask_in_stream(self, spark, tmp_path):
+        """curate_documents_stream: repetition filter, decontamination
+        (static eval-gram literal), PII masking, and exact-dedup state all
+        fire on a continuous ingest — same kernels, same constants, same
+        decisions as the batch curate_corpus."""
+        from web_scraper_spark.streaming.curation_stream import (
+            curate_documents_stream,
+        )
+
+        docs = str(tmp_path / "docs")
+        out = str(tmp_path / "kept")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(docs, exist_ok=True)
+
+        def drop(rows):
+            spark.createDataFrame(
+                rows, "doc_id long, text string, event_time double"
+            ).coalesce(1).write.mode("append").parquet(docs)
+
+        base = " ".join(f"w{i}" for i in range(40))
+        ev = spark.createDataFrame(
+            [(" ".join(f"e{i}" for i in range(1, 21)),)], "text string"
+        )
+
+        def run():
+            curate_documents_stream(
+                spark, docs, out, ckpt, ev,
+                quality_min=0.0, dup_frac_max=0.5,
+            ).awaitTermination()
+
+        drop([
+            (1, base + " alpha", 1.0),                        # kept
+            (2, base + " mail a.b@c.org here", 1.0),          # kept, masked
+            (3, "x " * 60, 1.0),                              # repetition drop
+            (4, base + " e1 e2 e3 e4 e5 e6 e7 e8", 1.0),      # contaminated
+            (5, base + " alpha", 1.0),                        # in-batch dup of 1
+        ])
+        run()
+        got1 = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+        assert set(got1) == {1, 2}
+        assert got1[2]["masked_text"] == base + " mail <EMAIL> here"
+        assert got1[1]["n_tokens"] == 41
+
+        # batch 2 against the same checkpoint: cross-batch dup suppressed
+        # by the fingerprint state; a new doc flows through
+        drop([(6, base + " alpha", 2.0), (7, base + " beta", 2.0)])
+        run()
+        got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert got2 == {1, 2, 7}
+
+    def test_matches_batch_decisions(self, spark, tmp_path):
+        """The streaming keep TEXT set equals batch curate_corpus's keep
+        set on the same corpus (budget off, near-dup off — the two stages
+        streaming deliberately omits)."""
+        from web_scraper_spark.functions import curation as cu
+        from web_scraper_spark.streaming.curation_stream import (
+            curate_documents_stream,
+        )
+
+        docs = str(tmp_path / "docs")
+        out = str(tmp_path / "kept")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(docs, exist_ok=True)
+
+        d = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text")
+        )
+        train = d.filter(F.col("doc_id") % 5 != 0)
+        ev = d.filter(F.col("doc_id") % 5 == 0).select("text")
+
+        train.withColumn("event_time", F.lit(1.0)).coalesce(2).write.mode(
+            "append"
+        ).parquet(docs)
+        curate_documents_stream(
+            spark, docs, out, ckpt, ev, quality_min=0.9, dup_frac_max=0.55
+        ).awaitTermination()
+        stream_texts = {
+            r["masked_text"] for r in spark.read.parquet(out).collect()
+        }
+
+        batch = cu.curate_corpus(
+            train.withColumn("lang", F.lit("x")),
+            ev,
+            quality_min=0.9,
+            dup_frac_max=0.55,
+            max_hamming=-1,   # near-dup off: streaming has no banded join
+            budget_tokens=None,
+        )
+        batch_texts = {r["masked_text"] for r in batch.collect()}
+        assert stream_texts == batch_texts
+        assert len(stream_texts) > 0
