@@ -652,6 +652,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_budget_sample"] = q_token_budget_sample
 
+    def q_pack_sequences(spark, sf_dir):
+        """Sequence packing (sampling.pack_sequences): greedy first-fit of
+        tokenized documents into 512-token training sequences, sharded by
+        doc_id % 8 so each shard is an independent sequential stream — one
+        Arrow-batched applyInPandas task per shard, a single numpy pass
+        inside. Returns the (doc, sequence, offset) manifest a
+        sequence-builder job consumes. The oracle states the identical
+        greedy fold as a DuckDB recursive CTE."""
+        from web_scraper_spark.operators import sampling
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            ta.token_count_expr(F.col("text")).cast("long").alias("tokens"),
+        )
+        return sampling.pack_sequences(d, capacity=512, num_shards=8)
+
+    q["pack_sequences"] = q_pack_sequences
+
     def q_decontaminate(spark, sf_dir):
         """Benchmark decontamination (curation.contamination): flag every
         training doc sharing an 8-token n-gram with the eval split
@@ -1910,6 +1928,18 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         )""",
         20_000,
+    )
+
+    from web_scraper_spark.operators.sampling import pack_sequences_sql
+
+    o["pack_sequences"] = pack_sequences_sql(
+        f"""(
+          SELECT doc_id,
+                 CAST({ta.token_count_sql('text')} AS BIGINT) AS tokens
+          FROM documents
+        )""",
+        capacity=512,
+        num_shards=8,
     )
 
     from web_scraper_spark.functions import curation as _cu

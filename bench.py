@@ -226,6 +226,7 @@ def bench_queries(spark):
         "audio_keep_set": run("audio_keep_set"),
         "doc_repetition": run("doc_repetition"),
         "token_budget_sample": run("token_budget_sample"),
+        "pack_sequences": run("pack_sequences"),
         "decontaminate": run("decontaminate"),
         "pii_scrub": run("pii_scrub"),
         "semdedup": run("semdedup"),

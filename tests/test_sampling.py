@@ -150,3 +150,82 @@ def test_two_phase_plan_shape(spark):
     for seg in segments[1:]:
         if "ExistingRDD" in seg or "LocalTableScan" in seg or "Scan" in seg:
             assert "BroadcastHashJoin" in seg or "HashAggregate" in seg, seg[:400]
+
+
+# --------------------------------------------------------------------------
+# pack_sequences — greedy first-fit sequence packing
+# --------------------------------------------------------------------------
+
+
+def naive_pack(rows, capacity, num_shards):
+    """Sequential reference: per shard (id % num_shards), id-ordered greedy
+    fold. rows = (doc_id:int, tokens:int); returns
+    {doc_id: (shard, seq_idx, tok_offset, tokens)}."""
+    out = {}
+    by_shard = {}
+    for i, t in rows:
+        if t > 0:
+            by_shard.setdefault(i % num_shards, []).append((i, t))
+    for sh, rs in by_shard.items():
+        seq = 0
+        fill = 0
+        for j, (i, t) in enumerate(sorted(rs)):
+            if j > 0 and fill + t > capacity:
+                seq += 1
+                fill = 0
+            out[i] = (sh, seq, fill, t)
+            fill += t
+    return out
+
+
+def test_pack_sequences_equals_naive(spark):
+    from web_scraper_spark.operators.sampling import pack_sequences
+
+    rows = [(i, [0, 3, 40, 120, 300, 700][i % 6]) for i in range(120)]
+    df = spark.createDataFrame(rows, ["doc_id", "tokens"])
+    got = {
+        r["doc_id"]: (r["shard"], r["seq_idx"], r["tok_offset"], r["tokens"])
+        for r in pack_sequences(df, capacity=512, num_shards=4).collect()
+    }
+    assert got == naive_pack(rows, 512, 4)
+    # invariants: every packed-from-zero sequence of in-capacity docs fits;
+    # oversized docs (700 > 512) sit alone at offset 0
+    fills = {}
+    for did, (sh, sq, off, tok) in got.items():
+        fills.setdefault((sh, sq), []).append((off, tok))
+    for (sh, sq), members in fills.items():
+        members.sort()
+        toks = [t for _, t in members]
+        if all(t <= 512 for t in toks):
+            assert sum(toks) <= 512
+        else:
+            assert len(members) == 1 and members[0][0] == 0
+    # offsets are the running fill inside each sequence
+    for (sh, sq), members in fills.items():
+        cum = 0
+        for off, tok in members:
+            assert off == cum
+            cum += tok
+
+
+def test_pack_sequences_matches_duckdb_oracle(spark):
+    """The sharded applyInPandas fold and the recursive-CTE statement are
+    the same function."""
+    import duckdb
+
+    from web_scraper_spark.operators.sampling import (
+        pack_sequences,
+        pack_sequences_sql,
+    )
+
+    rows = [(i * 3 + (i % 7), 1 + (i * 37) % 600) for i in range(150)]
+    df = spark.createDataFrame(rows, ["doc_id", "tokens"])
+    got = {
+        (r["doc_id"], r["shard"], r["seq_idx"], r["tok_offset"], r["tokens"])
+        for r in pack_sequences(df, capacity=256, num_shards=8).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE toks(doc_id BIGINT, tokens BIGINT)")
+    con.executemany("INSERT INTO toks VALUES (?,?)", rows)
+    want = set(map(tuple, con.sql(pack_sequences_sql("toks", 256, 8)).fetchall()))
+    assert got == want and len(got) == 150

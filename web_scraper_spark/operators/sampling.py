@@ -123,3 +123,116 @@ def token_budget_sample_sql(
       SELECT {id_col}, {stratum_col}, {tokens_col}, cum_tokens
       FROM ordered WHERE cum_tokens <= {int(budget_tokens)}
     """
+
+
+# --------------------------------------------------------------------------
+# sequence packing — fill fixed-capacity training sequences with documents
+# --------------------------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int,
+    num_shards: int = 64,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Greedy first-fit packing of tokenized documents into fixed-capacity
+    training sequences: within a shard, documents are taken in id order and
+    appended to the current sequence; when the next document would overflow
+    ``capacity``, a new sequence starts. A document longer than capacity
+    still gets a sequence of its own (the trainer truncates; this operator
+    never drops or splits text).
+
+    Packing is an order-dependent fold, so it cannot be a window function —
+    but it only has to be sequential WITHIN a shard. Sharding by
+    ``id % num_shards`` makes each shard an independent greedy stream:
+    at 100 TB you raise num_shards with the cluster (one applyInPandas
+    task per shard, Arrow-batched, a single numpy pass per task) and the
+    packing keeps the same per-shard determinism a resumable pipeline
+    needs. Requires non-negative ids (Spark ``%`` and ANSI-SQL ``%`` agree
+    there); zero-token documents are dropped up front like in
+    token_budget_sample.
+
+    Returns (id_col, shard, seq_idx, tok_offset, tokens_col): the sequence
+    a document landed in and its token offset inside that sequence —
+    exactly the manifest a sequence-builder job consumes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cap = int(capacity)
+    base = (
+        docs.select(id_col, tokens_col)
+        .where(F.col(tokens_col) > 0)
+        .withColumn("shard", (F.col(id_col) % int(num_shards)).cast("int"))
+    )
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col)
+        toks = pdf[tokens_col].to_numpy(dtype="int64")
+        seq = np.empty(len(toks), dtype="int64")
+        off = np.empty(len(toks), dtype="int64")
+        s = 0
+        fill = 0
+        for i, t in enumerate(toks):
+            if i > 0 and fill + t > cap:
+                s += 1
+                fill = 0
+            off[i] = fill
+            fill += t
+            seq[i] = s
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "shard": pdf["shard"].to_numpy(),
+                "seq_idx": seq,
+                "tok_offset": off,
+                tokens_col: toks,
+            }
+        )
+
+    out_schema = (
+        f"{id_col} bigint, shard int, seq_idx bigint, "
+        f"tok_offset bigint, {tokens_col} bigint"
+    )
+    return base.groupBy("shard").applyInPandas(fold, schema=out_schema)
+
+
+def pack_sequences_sql(
+    table: str,
+    capacity: int,
+    num_shards: int = 64,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> str:
+    """The same greedy fold stated as a DuckDB recursive CTE (row-by-row
+    recurrence per shard) — the sequential semantics the sharded
+    applyInPandas plan must reproduce exactly."""
+    cap = int(capacity)
+    return f"""
+      WITH RECURSIVE ordered AS (
+        SELECT {id_col}, {tokens_col},
+               CAST({id_col} % {int(num_shards)} AS INTEGER) AS shard,
+               ROW_NUMBER() OVER (
+                 PARTITION BY {id_col} % {int(num_shards)} ORDER BY {id_col}
+               ) AS rn
+        FROM {table} WHERE {tokens_col} > 0
+      ),
+      pack AS (
+        SELECT shard, rn, {id_col}, {tokens_col},
+               CAST(0 AS BIGINT) AS seq_idx, {tokens_col} AS fill
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.shard, o.rn, o.{id_col}, o.{tokens_col},
+               CASE WHEN p.fill + o.{tokens_col} > {cap}
+                    THEN p.seq_idx + 1 ELSE p.seq_idx END,
+               CASE WHEN p.fill + o.{tokens_col} > {cap}
+                    THEN o.{tokens_col} ELSE p.fill + o.{tokens_col} END
+        FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+      )
+      SELECT CAST({id_col} AS BIGINT) AS {id_col}, shard,
+             seq_idx, CAST(fill - {tokens_col} AS BIGINT) AS tok_offset,
+             CAST({tokens_col} AS BIGINT) AS {tokens_col}
+      FROM pack
+    """
