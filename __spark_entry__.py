@@ -792,6 +792,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dup_clusters"] = q_dup_clusters
 
+    def q_cluster_reps(spark, sf_dir):
+        """Quality-aware canonical doc per dup cluster
+        (dedupops.cluster_representatives): from the transitive simhash
+        clusters, keep the HIGHEST-quality member (id tie-break) — the
+        production alternative to min-id keep-sets when near-duplicates
+        differ in quality. Plan is join + ONE windowless groupBy-argmax
+        (max of (score, -id) struct), partial-aggregable, so a
+        pathological million-member cluster combines map-side; the oracle
+        states the row_number-window semantics."""
+        d = _docs(spark, sf_dir)
+        members = dedupops.dup_clusters(d, max_hamming=3)
+        scores = d.select(
+            "doc_id", ta.quality_score_expr(F.col("text")).alias("quality")
+        )
+        return dedupops.cluster_representatives(members, scores)
+
+    q["cluster_reps"] = q_cluster_reps
+
     q["simhash"] = lambda s, d: _docs(s, d).select(
         "doc_id", dedupops.simhash_expr(F.col("text")).alias("sh")
     )
@@ -1874,6 +1892,10 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["dup_clusters"] = dedupops.dup_clusters_sql(max_hamming=3)
+    o["cluster_reps"] = dedupops.cluster_representatives_sql(
+        f"SELECT * FROM ({dedupops.dup_clusters_sql(max_hamming=3)})",
+        f"SELECT doc_id, {ta.quality_score_sql('text')} AS quality FROM documents",
+    )
 
     o["stratified_sample"] = f"""
       WITH s AS (

@@ -216,6 +216,7 @@ def bench_queries(spark):
         "dedup_keep_set": run("dedup_keep_set"),
         "corpus_clean": run("corpus_clean"),
         "dup_clusters": run("dup_clusters"),
+        "cluster_reps": run("cluster_reps"),
         "cosine_dup_pairs": run("cosine_dup_pairs"),
         "ann_brute_topk": run("ann_brute_topk"),
         "embedding_sig_neardup": run("embedding_sig_neardup"),

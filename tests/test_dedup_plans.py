@@ -169,3 +169,27 @@ def test_incremental_keep_set_plan(spark):
     assert "InMemoryTableScan" in plan, plan[:500]
     dedupops.unpersist_op_caches()
     spark.catalog.clearCache()
+
+
+def test_cluster_representatives_argmax_and_plan(spark):
+    """Quality-aware canonical member per cluster: (score DESC, id ASC)
+    argmax matches the sequential rule on every tie kind, and the plan is
+    a windowless partial-aggregable groupBy (no per-cluster Window, so a
+    skewed million-member cluster combines map-side)."""
+    members = [
+        (1, 1), (2, 1), (3, 1),          # scores 0.5, 0.9, 0.9 → rep 2 (tie by id)
+        (10, 10), (11, 10),              # equal scores → rep 10
+        (20, 20),                        # singleton
+    ]
+    scores = [(1, 0.5), (2, 0.9), (3, 0.9), (10, 0.4), (11, 0.4), (20, 0.0)]
+    m = spark.createDataFrame(members, "doc_id long, cluster_id long")
+    s = spark.createDataFrame(scores, "doc_id long, quality double")
+    out = dedupops.cluster_representatives(m, s)
+    got = {
+        r["cluster_id"]: (r["rep_id"], r["rep_quality"], r["cluster_size"])
+        for r in out.collect()
+    }
+    assert got == {1: (2, 0.9, 3), 10: (10, 0.4, 2), 20: (20, 0.0, 1)}
+    plan = audit.physical_plan(out)
+    assert "Window" not in plan, plan[:500]
+    assert not audit.has_cartesian(out)

@@ -1101,3 +1101,83 @@ def dup_clusters_sql(
         f"bit_count(xor(a.sh, b.sh)) <= {max_hamming}",
         id_col,
     )
+
+
+# --------------------------------------------------------------------------
+# cluster representatives — quality-aware canonical doc per dup cluster
+# --------------------------------------------------------------------------
+
+
+def cluster_representatives(
+    members: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Pick the canonical member of every duplicate cluster by
+    (score DESC, id ASC) — the production alternative to the keep-set
+    family's min-id rule: when near-duplicates differ (boilerplate
+    stripped vs not, truncated vs full), a training pipeline keeps the
+    HIGHEST-QUALITY copy, not the lowest id.
+
+    members: (id_col, cluster_col) — e.g. dup_clusters output;
+    scores: (id_col, score_col). Returns one row per cluster:
+    (cluster_col, rep_id, rep_<score_col>, cluster_size).
+
+    Plan shape: equi-join on id, then ONE partial-aggregable groupBy —
+    argmax is max(struct(score, -id)), so there is no per-cluster window
+    and no skew hazard: a pathological million-member cluster combines
+    map-side like any other aggregate at 100 TB. Requires non-negative
+    ids (the -id tie-break)."""
+    joined = members.select(id_col, cluster_col).join(
+        scores.select(id_col, score_col), id_col
+    )
+    agg = joined.groupBy(cluster_col).agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("s"),
+                (-F.col(id_col)).cast("long").alias("negid"),
+            )
+        ).alias("best"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return agg.select(
+        cluster_col,
+        (-F.col("best.negid")).alias("rep_id"),
+        F.col("best.s").alias(f"rep_{score_col}"),
+        "cluster_size",
+    )
+
+
+def cluster_representatives_sql(
+    members_sql: str,
+    scores_sql: str,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality",
+) -> str:
+    """The same (score DESC, id ASC) argmax per cluster stated with a
+    row_number window — the semantics the windowless groupBy-argmax plan
+    must reproduce. members_sql/scores_sql are parenthesizable queries
+    yielding (id, cluster) and (id, score)."""
+    return f"""
+      WITH m AS ({members_sql}), s AS ({scores_sql}),
+      j AS (
+        SELECT m.{cluster_col}, m.{id_col}, s.{score_col}
+        FROM m JOIN s ON m.{id_col} = s.{id_col}
+      ),
+      r AS (
+        SELECT {cluster_col}, {id_col}, {score_col},
+               ROW_NUMBER() OVER (
+                 PARTITION BY {cluster_col}
+                 ORDER BY {score_col} DESC, {id_col} ASC
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY {cluster_col}) AS csize
+        FROM j
+      )
+      SELECT {cluster_col}, {id_col} AS rep_id,
+             {score_col} AS rep_{score_col},
+             CAST(csize AS BIGINT) AS cluster_size
+      FROM r WHERE rn = 1
+    """
