@@ -33,6 +33,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 N_HOSTS_MOD = 20  # events.user_id % 20 → synthetic "host" for frontier queries
 
+# training-mixture weights for the mixture_sample query: per-language token
+# budgets; 'de' is deliberately absent so the exclusion path provably fires
+_MIXTURE_BUDGETS = {"en": 8_000, "zh": 4_000, "es": 4_000, "fr": 2_000}
+
 
 def _events_frontier(spark, sf_dir):
     """events reinterpreted as a crawl frontier: host = user_id % 20,
@@ -669,6 +673,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sampling.pack_sequences(d, capacity=512, num_shards=8)
 
     q["pack_sequences"] = q_pack_sequences
+
+    def q_mixture_sample(spark, sf_dir):
+        """Training-mixture selection (token_budget_sample's dict form):
+        per-language token budgets — en 8k, zh 4k, es 4k, fr 2k, de
+        EXCLUDED (absent from the mixture) — so the keep set realizes the
+        domain-mixing weights a training run specifies. Budgets ride as a
+        broadcast frame joined onto the bucket AGGREGATE, never the
+        corpus; the plan stays the two-phase bucket-verdict shape. The
+        oracle states the one-window semantics joined to a VALUES budget
+        table."""
+        from web_scraper_spark.operators import sampling
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            "lang",
+            ta.quality_score_expr(F.col("text")).alias("priority"),
+            ta.token_count_expr(F.col("text")).cast("long").alias("tokens"),
+        )
+        return sampling.token_budget_sample(d, _MIXTURE_BUDGETS)
+
+    q["mixture_sample"] = q_mixture_sample
 
     def q_decontaminate(spark, sf_dir):
         """Benchmark decontamination (curation.contamination): flag every
@@ -1950,6 +1975,16 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         )""",
         20_000,
+    )
+
+    o["mixture_sample"] = token_budget_sample_sql(
+        f"""(
+          SELECT doc_id, lang,
+                 {ta.quality_score_sql('text')} AS priority,
+                 CAST({ta.token_count_sql('text')} AS BIGINT) AS tokens
+          FROM documents
+        )""",
+        _MIXTURE_BUDGETS,
     )
 
     from web_scraper_spark.operators.sampling import pack_sequences_sql

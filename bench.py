@@ -228,6 +228,7 @@ def bench_queries(spark):
         "doc_repetition": run("doc_repetition"),
         "token_budget_sample": run("token_budget_sample"),
         "pack_sequences": run("pack_sequences"),
+        "mixture_sample": run("mixture_sample"),
         "decontaminate": run("decontaminate"),
         "pii_scrub": run("pii_scrub"),
         "semdedup": run("semdedup"),

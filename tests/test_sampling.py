@@ -229,3 +229,44 @@ def test_pack_sequences_matches_duckdb_oracle(spark):
     con.executemany("INSERT INTO toks VALUES (?,?)", rows)
     want = set(map(tuple, con.sql(pack_sequences_sql("toks", 256, 8)).fetchall()))
     assert got == want and len(got) == 150
+
+
+# --------------------------------------------------------------------------
+# mixture form — per-stratum budgets (training domain-mixing weights)
+# --------------------------------------------------------------------------
+
+
+def test_mixture_budgets_equal_per_stratum_scalar_runs(spark):
+    """The dict form with every stratum at budget B equals the scalar
+    form at B; a stratum absent from the dict is excluded entirely; and
+    unequal budgets realize the mixture per stratum."""
+    rows = [
+        (f"d{i:03d}", ["en", "fr", "de"][i % 3], float(i % 4), 2 + i % 5)
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "priority", "tokens"])
+
+    scalar = {
+        (r["doc_id"], r["cum_tokens"])
+        for r in token_budget_sample(df, 40).collect()
+    }
+    uniform = {
+        (r["doc_id"], r["cum_tokens"])
+        for r in token_budget_sample(df, {"en": 40, "fr": 40, "de": 40}).collect()
+    }
+    assert scalar == uniform and len(scalar) > 0
+
+    mixed = token_budget_sample(df, {"en": 60, "fr": 12}).collect()
+    by_lang = {}
+    for r in mixed:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == {"en", "fr"}  # 'de' excluded
+    assert max(r["cum_tokens"] for r in by_lang["en"]) <= 60
+    assert max(r["cum_tokens"] for r in by_lang["fr"]) <= 12
+    # per-stratum keep set equals the scalar run at that stratum's budget
+    want_fr = {
+        (r["doc_id"], r["cum_tokens"])
+        for r in token_budget_sample(df.where(F.col("lang") == "fr"), 12).collect()
+    }
+    got_fr = {(r["doc_id"], r["cum_tokens"]) for r in by_lang["fr"]}
+    assert got_fr == want_fr

@@ -31,14 +31,21 @@ from pyspark.sql import functions as F
 
 def token_budget_sample(
     docs: DataFrame,
-    budget_tokens: int,
+    budget_tokens,
     stratum_col: str = "lang",
     id_col: str = "doc_id",
     priority_col: str = "priority",
     tokens_col: str = "tokens",
 ) -> DataFrame:
     """Keep, per stratum, the (priority DESC, id ASC)-prefix of documents
-    whose running token sum stays <= budget_tokens.
+    whose running token sum stays <= the stratum's budget.
+
+    budget_tokens is either one int (every stratum gets the same budget)
+    or a dict {stratum: budget} — the TRAINING-MIXTURE form: per-domain
+    token weights, with strata absent from the dict excluded entirely.
+    The dict rides as a broadcast frame joined onto the BUCKET aggregate
+    (thousands of rows), never onto the corpus, so mixture selection
+    costs the same plan as the scalar form.
 
     docs must carry (id_col, stratum_col, priority_col, tokens_col);
     returns (id_col, stratum_col, tokens_col, cum_tokens) for the kept
@@ -63,7 +70,18 @@ def token_budget_sample(
     buckets = buckets.withColumn(
         "cum_before", F.sum("bucket_tok").over(wb) - F.col("bucket_tok")
     )
-    budget = F.lit(int(budget_tokens)).cast("long")
+    if isinstance(budget_tokens, dict):
+        budgets = docs.sparkSession.createDataFrame(
+            [(str(k), int(v)) for k, v in sorted(budget_tokens.items())],
+            f"{stratum_col} string, _budget long",
+        )
+        buckets = buckets.join(F.broadcast(budgets), stratum_col)
+    else:
+        buckets = buckets.withColumn(
+            "_budget", F.lit(int(budget_tokens)).cast("long")
+        )
+    budget = F.col("_budget")
+    verdict_cols = [stratum_col, priority_col, "cum_before", "_budget"]
     keep_whole = buckets.where(F.col("cum_before") + F.col("bucket_tok") <= budget)
     boundary = buckets.where(
         (F.col("cum_before") < budget)
@@ -79,7 +97,7 @@ def token_budget_sample(
     )
     kept_full = (
         base.join(
-            F.broadcast(keep_whole.select(stratum_col, priority_col, "cum_before")),
+            F.broadcast(keep_whole.select(*verdict_cols)),
             [stratum_col, priority_col],
         )
         .withColumn("cum_tokens", F.col("cum_before") + F.sum(tokens_col).over(wd))
@@ -90,7 +108,7 @@ def token_budget_sample(
     # priority value per stratum, so the window input is tiny
     kept_edge = (
         base.join(
-            F.broadcast(boundary.select(stratum_col, priority_col, "cum_before")),
+            F.broadcast(boundary.select(*verdict_cols)),
             [stratum_col, priority_col],
         )
         .withColumn("cum_tokens", F.col("cum_before") + F.sum(tokens_col).over(wd))
@@ -102,16 +120,18 @@ def token_budget_sample(
 
 def token_budget_sample_sql(
     table: str,
-    budget_tokens: int,
+    budget_tokens,
     stratum_col: str = "lang",
     id_col: str = "doc_id",
     priority_col: str = "priority",
     tokens_col: str = "tokens",
 ) -> str:
     """The naive ONE-WINDOW statement of the same keep set (the semantics
-    the two-phase plan must reproduce) — used as the DuckDB oracle."""
-    return f"""
-      WITH ordered AS (
+    the two-phase plan must reproduce) — used as the DuckDB oracle.
+    budget_tokens: one int, or {stratum: budget} (the training-mixture
+    form — strata absent from the dict are excluded)."""
+    ordered = f"""
+      ordered AS (
         SELECT {id_col}, {stratum_col}, {tokens_col},
                sum({tokens_col}) OVER (
                  PARTITION BY {stratum_col}
@@ -119,7 +139,20 @@ def token_budget_sample_sql(
                  ROWS UNBOUNDED PRECEDING
                ) AS cum_tokens
         FROM {table} WHERE {tokens_col} > 0
-      )
+      )"""
+    if isinstance(budget_tokens, dict):
+        vals = ", ".join(
+            f"('{k}', {int(v)})" for k, v in sorted(budget_tokens.items())
+        )
+        return f"""
+          WITH {ordered},
+          b({stratum_col}, budget) AS (VALUES {vals})
+          SELECT o.{id_col}, o.{stratum_col}, o.{tokens_col}, o.cum_tokens
+          FROM ordered o JOIN b ON o.{stratum_col} = b.{stratum_col}
+          WHERE o.cum_tokens <= b.budget
+        """
+    return f"""
+      WITH {ordered}
       SELECT {id_col}, {stratum_col}, {tokens_col}, cum_tokens
       FROM ordered WHERE cum_tokens <= {int(budget_tokens)}
     """
