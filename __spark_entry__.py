@@ -1198,6 +1198,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_invariants"] = q_image_invariants
 
+    def q_image_batch_buckets(spark, sf_dir):
+        """Batch-assembly bucketing (imageops.aspect_bucket_expr /
+        area_bucket_expr): every image assigned its (aspect class,
+        resolution class) training bucket — the shape-homogeneous groups
+        a loader pads/crops within. Both classifications are integer
+        cross-product CASE exprs (no float division), whole-stage
+        codegen'd on the scan; the oracle replays the identical CASEs
+        over the same deterministic dims."""
+        from web_scraper_spark import synth
+        from web_scraper_spark.functions import imageops
+
+        imgs = synth.images_df(spark, 256, seed=42)
+        ar = imageops.aspect_bucket_expr(F.col("w"), F.col("h"))
+        res = imageops.area_bucket_expr(F.col("w"), F.col("h"))
+        return imgs.select(
+            "image_id",
+            ar.alias("ar_bucket"),
+            res.alias("res_bucket"),
+            F.concat_ws("_", ar, res.cast("string")).alias("batch_key"),
+        )
+
+    q["image_batch_buckets"] = q_image_batch_buckets
+
     def q_image_resize(spark, sf_dir):
         """Training-shard normalizer (multimodal.resize_images): decode →
         deterministic area-resample to 16×16 → re-encode ppm, all inside
@@ -2118,6 +2141,22 @@ GROUP BY 1, 2
     o["image_invariants"] = f"""
       SELECT * FROM (VALUES {_image_invariant_values(256, 42)})
         AS t(image_id, fmt, w_ok, h_ok, phash_ok, decode_ok)
+    """
+
+    from web_scraper_spark.functions.imageops import (
+        aspect_bucket_sql,
+        area_bucket_sql,
+    )
+
+    o["image_batch_buckets"] = f"""
+      WITH p(image_id, w, h, fmt, caption, phash) AS
+        (VALUES {_image_pair_full_values(256, 42)})
+      SELECT image_id,
+             {aspect_bucket_sql('w', 'h')} AS ar_bucket,
+             {area_bucket_sql('w', 'h')} AS res_bucket,
+             concat({aspect_bucket_sql('w', 'h')}, '_',
+                    CAST({area_bucket_sql('w', 'h')} AS VARCHAR)) AS batch_key
+      FROM p
     """
 
     o["image_resize"] = f"""

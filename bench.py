@@ -222,6 +222,7 @@ def bench_queries(spark):
         "embedding_sig_neardup": run("embedding_sig_neardup"),
         "image_invariants": run("image_invariants"),
         "image_neardup_lsh": run("image_neardup_lsh"),
+        "image_batch_buckets": run("image_batch_buckets"),
         "pair_keep_set": run("pair_keep_set"),
         "frame_neardup": run("frame_neardup"),
         "audio_keep_set": run("audio_keep_set"),

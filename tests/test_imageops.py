@@ -183,3 +183,40 @@ class TestAudioVideoStubs:
             multimodal.audio_features(c, strict=True).collect()
         with pytest.raises(Exception, match="NotImplementedError|pyav|ffmpeg"):
             multimodal.video_frame_sample(c, strict=True).collect()
+
+
+def test_batch_buckets_hand_values(spark):
+    """Aspect + resolution classes on hand-picked dims, both engines'
+    CASE arithmetic being pure integer comparisons."""
+    from web_scraper_spark.functions.imageops import (
+        aspect_bucket_expr,
+        area_bucket_expr,
+    )
+
+    rows = [
+        (1, 128, 64),   # 2.0 → wide, 8192 px → res 64
+        (2, 16, 64),    # 0.25 → tall, 1024 px → res 32
+        (3, 64, 64),    # square, 4096 px → res 64
+        (4, 128, 96),   # 4/3 exactly → square (boundary not-strict)
+        (5, 96, 128),   # 3/4 exactly → square
+        (6, 16, 16),    # below every rung but the smallest
+        (7, 128, 128),  # top rung
+    ]
+    df = spark.createDataFrame(rows, "image_id long, w int, h int")
+    got = {
+        r["image_id"]: (r["ar"], r["res"])
+        for r in df.select(
+            "image_id",
+            aspect_bucket_expr(F.col("w"), F.col("h")).alias("ar"),
+            area_bucket_expr(F.col("w"), F.col("h")).alias("res"),
+        ).collect()
+    }
+    assert got == {
+        1: ("wide", 64),
+        2: ("tall", 32),
+        3: ("square", 64),
+        4: ("square", 64),
+        5: ("square", 64),
+        6: ("square", 16),
+        7: ("square", 128),
+    }

@@ -327,3 +327,52 @@ def phash_band_exprs(phash_col, n_bands: int = 4):
 def hamming_expr(a, b):
     """bit_count(a XOR b) — whole-stage-codegen'd JVM expression."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# --------------------------------------------------------------------------
+# batch-assembly bucketing — aspect-ratio + resolution classes
+# --------------------------------------------------------------------------
+#
+# Image training batches must be shape-homogeneous: a loader groups images
+# into (aspect class, resolution class) buckets and pads/crops inside the
+# bucket only. Both classifications below are pure integer comparisons
+# (cross-multiplied ratios, squared side thresholds) so Spark and any SQL
+# oracle agree bit-for-bit — no float division anywhere.
+
+ASPECT_WIDE_NUM, ASPECT_WIDE_DEN = 4, 3  # w/h > 4/3 → wide; < 3/4 → tall
+
+
+def aspect_bucket_expr(w, h):
+    """'wide' (w/h > 4/3), 'tall' (w/h < 3/4), else 'square' — stated as
+    integer cross-products."""
+    return (
+        F.when(w * ASPECT_WIDE_DEN > h * ASPECT_WIDE_NUM, F.lit("wide"))
+        .when(w * ASPECT_WIDE_NUM < h * ASPECT_WIDE_DEN, F.lit("tall"))
+        .otherwise(F.lit("square"))
+    )
+
+
+def aspect_bucket_sql(w: str, h: str) -> str:
+    return (
+        f"CASE WHEN {w} * {ASPECT_WIDE_DEN} > {h} * {ASPECT_WIDE_NUM} THEN 'wide' "
+        f"WHEN {w} * {ASPECT_WIDE_NUM} < {h} * {ASPECT_WIDE_DEN} THEN 'tall' "
+        f"ELSE 'square' END"
+    )
+
+
+def area_bucket_expr(w, h, sides=(16, 32, 64, 128)):
+    """Largest ladder side s with w*h >= s*s (the resolution class the
+    image can fill); images below the smallest rung take it."""
+    px = w * h
+    expr = F.lit(int(sides[0]))
+    for s in sides[1:]:
+        expr = F.when(px >= int(s) * int(s), F.lit(int(s))).otherwise(expr)
+    return expr
+
+
+def area_bucket_sql(w: str, h: str, sides=(16, 32, 64, 128)) -> str:
+    branches = " ".join(
+        f"WHEN {w} * {h} >= {int(s) * int(s)} THEN {int(s)}"
+        for s in reversed(sides[1:])
+    )
+    return f"CASE {branches} ELSE {int(sides[0])} END"
