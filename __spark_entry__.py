@@ -835,6 +835,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cluster_reps"] = q_cluster_reps
 
+    def q_host_authority(spark, sf_dir):
+        """Crawl-ordering authority (authority.host_authority): 5 rounds
+        of FIXED-POINT PageRank over the host link graph — the numeric
+        priority the reference's scheduler pops by, produced from the
+        graph itself. Integer micro-unit arithmetic end to end (integer
+        division + integer sums are associative), so the unrolled-CTE
+        oracle matches bit-for-bit where float PageRank could not. Each
+        round is one equi-join + one partial-aggregable groupBy(dst) sum:
+        the same shuffle family as hash-min CC, k fixed. Synthetic hub
+        graph from doc ids (src = id%50 → dst = id//50)."""
+        from web_scraper_spark.operators import authority
+
+        edges = _t(spark, sf_dir, "documents").select(
+            (F.col("doc_id") % 50).alias("src"),
+            F.expr("doc_id DIV 50").alias("dst"),
+        )
+        return authority.host_authority(edges, k=5)
+
+    q["host_authority"] = q_host_authority
+
     q["simhash"] = lambda s, d: _docs(s, d).select(
         "doc_id", dedupops.simhash_expr(F.col("text")).alias("sh")
     )
@@ -1938,6 +1958,13 @@ def oracle_sql() -> dict[str, str]:
       )
       SELECT doc_id FROM new_t WHERE doc_id NOT IN (SELECT id FROM drops)
     """
+
+    from web_scraper_spark.operators.authority import host_authority_sql
+
+    o["host_authority"] = host_authority_sql(
+        "SELECT doc_id % 50 AS src, doc_id // 50 AS dst FROM documents",
+        k=5,
+    )
 
     o["dup_clusters"] = dedupops.dup_clusters_sql(max_hamming=3)
     o["cluster_reps"] = dedupops.cluster_representatives_sql(

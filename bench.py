@@ -207,6 +207,7 @@ def bench_queries(spark):
         "link_2hop": run("link_2hop"),
         "frontier_admission": run("frontier_admission"),
         "priority_reorder": run("priority_reorder"),
+        "host_authority": run("host_authority"),
         "sentiment": run("sentiment"),
         "meta_pairs": run("meta_pairs"),
         "lang_id": run("lang_id"),
