@@ -260,12 +260,18 @@ def curate_corpus(
     keep = dedupops.dedup_keep_ids(
         clean, max_hamming=max_hamming, id_col=id_col, text_col=text_col
     )
-    deduped = clean.join(keep, id_col, "left_semi").select(
-        id_col,
-        stratum_col,
-        "quality",
-        "n_tokens",
-        pii_mask_expr(F.col(text_col)).alias("masked_text"),
+    # deduped embeds the banded near-dup join and is consumed THREE ways:
+    # by both union branches of the budget sampler (via pri) and by the
+    # final join — without a cache the band join would recompute per
+    # consumer, tripling the pipeline's most expensive stage
+    deduped = dedupops.register_op_cache(
+        clean.join(keep, id_col, "left_semi").select(
+            id_col,
+            stratum_col,
+            "quality",
+            "n_tokens",
+            pii_mask_expr(F.col(text_col)).alias("masked_text"),
+        )
     )
     pri = deduped.select(
         F.col(id_col),
