@@ -855,6 +855,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["host_authority"] = q_host_authority
 
+    def q_shard_positions(spark, sf_dir):
+        """Training-shard hand-off (sharding.shard_positions): every doc's
+        shard id + 0-based position in that shard's seeded shuffle order —
+        the loader contract a trainer consumes. One window per shard (the
+        writer's own unit of work), engine-portable md5 placement."""
+        from web_scraper_spark.operators import sharding
+
+        return sharding.shard_positions(
+            _docs(spark, sf_dir), n_shards=8, id_col="doc_id", salt=7
+        )
+
+    q["shard_positions"] = q_shard_positions
+
+    def q_shard_manifest(spark, sf_dir):
+        """Per-shard manifest (sharding.shard_manifest): doc/token counts
+        + an order-insensitive modular content checksum, all
+        partial-aggregable so the manifest of a 100-TB corpus is one
+        map-side-combined groupBy(shard)."""
+        from web_scraper_spark.operators import sharding
+
+        return sharding.shard_manifest(
+            _docs(spark, sf_dir),
+            n_shards=8,
+            id_col="doc_id",
+            text_col="text",
+            salt=7,
+        )
+
+    q["shard_manifest"] = q_shard_manifest
+
     q["simhash"] = lambda s, d: _docs(s, d).select(
         "doc_id", dedupops.simhash_expr(F.col("text")).alias("sh")
     )
@@ -1964,6 +1994,18 @@ def oracle_sql() -> dict[str, str]:
     o["host_authority"] = host_authority_sql(
         "SELECT doc_id % 50 AS src, doc_id // 50 AS dst FROM documents",
         k=5,
+    )
+
+    from web_scraper_spark.operators.sharding import (
+        shard_manifest_sql,
+        shard_positions_sql,
+    )
+
+    o["shard_positions"] = shard_positions_sql(
+        8, id_col="doc_id", salt=7, table="documents"
+    )
+    o["shard_manifest"] = shard_manifest_sql(
+        8, id_col="doc_id", text_col="text", salt=7, table="documents"
     )
 
     o["dup_clusters"] = dedupops.dup_clusters_sql(max_hamming=3)

@@ -235,6 +235,7 @@ def bench_queries(spark):
         "pii_scrub": run("pii_scrub"),
         "semdedup": run("semdedup"),
         "curation_pipeline": run("curation_pipeline"),
+        "shard_positions": run("shard_positions"),
     }
 
 

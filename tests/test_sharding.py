@@ -1,0 +1,182 @@
+"""Training-shard emission (operators/sharding.py): the loader contract.
+
+What a data loader assumes of a shard set — deterministic hash placement,
+seeded within-shard shuffle order, verifiable per-shard manifest — is
+pinned here at three levels: (1) pure-frame semantics (positions are a
+permutation, salt re-deals), (2) the WRITTEN artifact (rows inside each
+shard=K/ parquet land in epoch order; manifest recounts match the files),
+and (3) DuckDB twin parity for both SQL generators, so the driver oracle
+never drifts from the Spark path.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from web_scraper_spark.operators.sharding import (
+    _CKSUM_MOD,
+    shard_assign,
+    shard_manifest,
+    shard_manifest_sql,
+    shard_positions,
+    shard_positions_sql,
+    write_training_shards,
+)
+
+N_SHARDS = 8
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf001_dir):
+    return spark.read.parquet(os.path.join(sf001_dir, "documents.parquet"))
+
+
+def test_assign_deterministic_and_balanced(docs):
+    a = shard_assign(docs, N_SHARDS).select("doc_id", "shard", "shuffle_key")
+    b = shard_assign(docs, N_SHARDS).select("doc_id", "shard", "shuffle_key")
+    ra = {r["doc_id"]: (r["shard"], r["shuffle_key"]) for r in a.collect()}
+    rb = {r["doc_id"]: (r["shard"], r["shuffle_key"]) for r in b.collect()}
+    assert ra == rb
+    shards = [v[0] for v in ra.values()]
+    assert set(shards) <= set(range(N_SHARDS))
+    n = len(shards)
+    # hash placement: every shard populated, none grossly skewed
+    for s in range(N_SHARDS):
+        cnt = shards.count(s)
+        assert 0.3 * n / N_SHARDS <= cnt <= 2.5 * n / N_SHARDS, (s, cnt)
+
+
+def test_positions_are_per_shard_permutations(docs):
+    rows = shard_positions(docs, N_SHARDS).collect()
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    assert sum(len(v) for v in by_shard.values()) == docs.count()
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), s
+
+
+def test_salt_redeals_placement_and_order(docs):
+    p0 = {
+        r["doc_id"]: (r["shard"], r["shard_pos"])
+        for r in shard_positions(docs, N_SHARDS, salt=0).collect()
+    }
+    p1 = {
+        r["doc_id"]: (r["shard"], r["shard_pos"])
+        for r in shard_positions(docs, N_SHARDS, salt=1).collect()
+    }
+    assert p0.keys() == p1.keys()
+    moved = sum(1 for k in p0 if p0[k] != p1[k])
+    # a re-deal moves essentially everything (md5 is a fresh draw per salt)
+    assert moved > 0.9 * len(p0)
+
+
+def test_bad_shard_count_rejected(docs):
+    with pytest.raises(ValueError):
+        shard_assign(docs, 0)
+
+
+def test_written_shards_are_in_epoch_order_and_match_manifest(docs, tmp_path):
+    out = str(tmp_path / "shards")
+    manifest = {
+        r["shard"]: r
+        for r in write_training_shards(
+            docs, out, N_SHARDS, id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    assert set(manifest) == set(range(N_SHARDS))
+
+    expected = {
+        r["doc_id"]: (r["shard"], r["shard_pos"])
+        for r in shard_positions(docs, N_SHARDS).collect()
+    }
+    total_docs = 0
+    for s in range(N_SHARDS):
+        files = sorted(glob.glob(os.path.join(out, f"shard={s}", "*.parquet")))
+        assert files, s
+        # pyarrow preserves physical row order within each file; shard=K is
+        # one write partition, so concatenating files in name order IS the
+        # order a loader streams
+        tbl = None
+        ids: list[int] = []
+        keys: list[int] = []
+        cks = 0
+        ntok = 0
+        for f in files:
+            tbl = pq.read_table(f)
+            ids.extend(tbl.column("doc_id").to_pylist())
+            keys.extend(tbl.column("shuffle_key").to_pylist())
+        # epoch order on disk: (shuffle_key, doc_id) ascending
+        assert keys == sorted(keys)
+        for i, d in enumerate(ids):
+            assert expected[d] == (s, i), (s, d, i)
+        total_docs += len(ids)
+        assert manifest[s]["n_docs"] == len(ids)
+    assert total_docs == docs.count()
+
+    # manifest totals recomputed from the ORIGINAL frame agree with sums of
+    # the written shards' token counts and checksums
+    from web_scraper_spark.functions.textanalysis import (
+        md5_60_expr,
+        token_count_expr,
+    )
+
+    re_ck = (
+        shard_assign(docs, N_SHARDS)
+        .groupBy("shard")
+        .agg(
+            (
+                F.sum(
+                    md5_60_expr(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            F.col("text"),
+                        )
+                    )
+                    % _CKSUM_MOD
+                )
+                % _CKSUM_MOD
+            ).alias("ck"),
+            F.sum(token_count_expr(F.col("text")).cast("long")).alias("tok"),
+        )
+        .collect()
+    )
+    for r in re_ck:
+        assert manifest[r["shard"]]["content_ck"] == r["ck"]
+        assert manifest[r["shard"]]["n_tokens"] == r["tok"]
+
+
+def test_duckdb_twins_match(docs, sf001_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(sf001_dir, 'documents.parquet')}'"
+    )
+    want_pos = {
+        (r[0], r[1], r[2])
+        for r in con.execute(
+            shard_positions_sql(N_SHARDS, salt=7)
+        ).fetchall()
+    }
+    got_pos = {
+        (r["doc_id"], r["shard"], r["shard_pos"])
+        for r in shard_positions(docs, N_SHARDS, salt=7).collect()
+    }
+    assert got_pos == want_pos
+
+    want_man = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(shard_manifest_sql(N_SHARDS, salt=7)).fetchall()
+    }
+    got_man = {
+        r["shard"]: (r["n_docs"], r["n_tokens"], r["content_ck"])
+        for r in shard_manifest(docs, N_SHARDS, salt=7).collect()
+    }
+    assert got_man == want_man
