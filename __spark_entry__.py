@@ -754,16 +754,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pii_scrub"] = q_pii_scrub
 
-    def q_curation_pipeline(spark, sf_dir):
-        """The END-TO-END curation pipeline as one operator
-        (curation.curate_corpus): quality+repetition filter → benchmark
-        decontamination → exact+near dedup → per-language 600-token budget
-        selection → PII mask. Every failure path provably fires: PII is
-        injected on doc_id % 7 / % 11, an eval 8-gram on % 50 == 13, ten
-        byte-identical duplicates at +100000, and the eval split
-        (doc_id % 97 == 0) is held out; the identical injections are built
-        in SQL, so the composite — including every masked byte, via
-        masked_fp — is value-oracled end to end."""
+    def _curated(spark, sf_dir):
+        """Shared by curation_pipeline and curated_shard_manifest: the
+        injected train/eval corpus (PII on doc_id % 7 / % 11, an eval
+        8-gram on % 50 == 13, ten byte-identical duplicates at +100000,
+        eval split % 97 held out) run through curate_corpus."""
         from web_scraper_spark.functions import curation as cu
 
         d = _docs(spark, sf_dir)
@@ -787,7 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         train = inj.unionByName(dup).filter(F.col("doc_id") % 97 != 0)
         ev = d.filter(F.col("doc_id") % 97 == 0).select("text")
-        out = cu.curate_corpus(
+        return cu.curate_corpus(
             train,
             ev,
             quality_min=0.9,
@@ -795,6 +790,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_hamming=3,
             budget_tokens=600,
         )
+
+    def q_curation_pipeline(spark, sf_dir):
+        """The END-TO-END curation pipeline as one operator
+        (curation.curate_corpus): quality+repetition filter → benchmark
+        decontamination → exact+near dedup → per-language 600-token budget
+        selection → PII mask. Every failure path provably fires (see
+        _curated); the identical injections are built in SQL, so the
+        composite — including every masked byte, via masked_fp — is
+        value-oracled end to end."""
+        out = _curated(spark, sf_dir)
         return out.select(
             "doc_id",
             "lang",
@@ -805,6 +810,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["curation_pipeline"] = q_curation_pipeline
+
+    def q_curated_shard_manifest(spark, sf_dir):
+        """The COMPLETE raw-corpus → training-input story in one oracled
+        statement: curate_corpus's survivors handed off to the shard
+        writer's manifest (sharding.shard_manifest) — per-shard doc/token
+        counts plus a content checksum over (doc_id, masked-text
+        fingerprint), so the oracle value-checks that BOTH pipeline output
+        and shard placement agree byte-for-byte. No new shuffle family:
+        curation's stages + one partial-aggregable groupBy(shard)."""
+        from web_scraper_spark.operators import sharding
+
+        out = _curated(spark, sf_dir)
+        prepared = out.select(
+            "doc_id",
+            "n_tokens",
+            ta.md5_60_expr(F.col("masked_text")).cast("string").alias("ckt"),
+        )
+        return sharding.shard_manifest(
+            prepared,
+            8,
+            id_col="doc_id",
+            text_col="ckt",
+            tokens_col="n_tokens",
+            salt=7,
+        )
+
+    q["curated_shard_manifest"] = q_curated_shard_manifest
 
     def q_dup_clusters(spark, sf_dir):
         """Transitive dup clusters: connected components over the simhash
@@ -884,6 +916,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["shard_manifest"] = q_shard_manifest
+
+    def q_corpus_split(spark, sf_dir):
+        """Deterministic train/val/test split (sharding.split_assign): a
+        pure codegen hash-threshold expr — no global sort or count — whose
+        membership is stable under corpus growth (the property that keeps
+        eval sets uncontaminated across refreshes) and re-derivable by any
+        engine (ppm cuts are integer-exact on both sides)."""
+        from web_scraper_spark.operators import sharding
+
+        return sharding.split_assign(
+            _docs(spark, sf_dir),
+            {"train": 0.9, "val": 0.05, "test": 0.05},
+            id_col="doc_id",
+            salt=11,
+        ).select("doc_id", "split", "split_u")
+
+    q["corpus_split"] = q_corpus_split
 
     q["simhash"] = lambda s, d: _docs(s, d).select(
         "doc_id", dedupops.simhash_expr(F.col("text")).alias("sh")
@@ -1999,6 +2048,7 @@ def oracle_sql() -> dict[str, str]:
     from web_scraper_spark.operators.sharding import (
         shard_manifest_sql,
         shard_positions_sql,
+        split_assign_sql,
     )
 
     o["shard_positions"] = shard_positions_sql(
@@ -2006,6 +2056,15 @@ def oracle_sql() -> dict[str, str]:
     )
     o["shard_manifest"] = shard_manifest_sql(
         8, id_col="doc_id", text_col="text", salt=7, table="documents"
+    )
+    _split_inner = split_assign_sql(
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+        id_col="doc_id",
+        salt=11,
+        table="documents",
+    )
+    o["corpus_split"] = (
+        f"SELECT doc_id, split, split_u FROM ({_split_inner})"
     )
 
     o["dup_clusters"] = dedupops.dup_clusters_sql(max_hamming=3)
@@ -2149,6 +2208,17 @@ def oracle_sql() -> dict[str, str]:
         dup_frac_max=0.55,
         max_hamming=3,
         budget_tokens=600,
+    )
+    o["curated_shard_manifest"] = shard_manifest_sql(
+        8,
+        id_col="doc_id",
+        text_col="ckt",
+        tokens_sql="n_tokens",
+        salt=7,
+        table=(
+            "(SELECT doc_id, n_tokens, CAST(masked_fp AS VARCHAR) AS ckt "
+            f"FROM ({o['curation_pipeline']}))"
+        ),
     )
 
     # the composite pipeline: score + filter the unioned corpus, run the

@@ -180,3 +180,126 @@ def test_duckdb_twins_match(docs, sf001_dir):
         for r in shard_manifest(docs, N_SHARDS, salt=7).collect()
     }
     assert got_man == want_man
+
+
+# ---------------------------------------------------------------------------
+# split_assign / append_training_shards / merge_manifests
+# ---------------------------------------------------------------------------
+
+from web_scraper_spark.operators.sharding import (  # noqa: E402
+    append_training_shards,
+    merge_manifests,
+    split_assign,
+    split_assign_sql,
+)
+
+FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def test_split_fractions_validated(docs):
+    with pytest.raises(ValueError):
+        split_assign(docs, {"train": 0.5, "val": 0.1})
+    with pytest.raises(ValueError):
+        split_assign(docs, {})
+
+
+def test_split_deterministic_and_roughly_proportional(docs):
+    rows = split_assign(docs, FRACS, salt=3).select("doc_id", "split").collect()
+    again = split_assign(docs, FRACS, salt=3).select("doc_id", "split").collect()
+    assert {r["doc_id"]: r["split"] for r in rows} == {
+        r["doc_id"]: r["split"] for r in again
+    }
+    n = len(rows)
+    counts = {s: 0 for s in FRACS}
+    for r in rows:
+        counts[r["split"]] += 1
+    assert counts["train"] > 0.65 * n
+    assert 0 < counts["val"] < 0.25 * n
+    assert 0 < counts["test"] < 0.25 * n
+
+
+def test_split_membership_stable_under_corpus_growth(docs):
+    """the eval-contamination property: a doc's split never depends on
+    which OTHER docs are present."""
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    full_m = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(docs, FRACS).select("doc_id", "split").collect()
+    }
+    half_m = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(half, FRACS).select("doc_id", "split").collect()
+    }
+    assert all(full_m[k] == v for k, v in half_m.items())
+
+
+def test_split_independent_of_shard_draws(docs):
+    """domain separation: the split draw is not the shard or shuffle draw
+    (same salt) — correlated draws would skew per-shard split mixes."""
+    j = (
+        shard_assign(docs, N_SHARDS, salt=3)
+        .select("doc_id", "shard", "shuffle_key")
+        .join(split_assign(docs, FRACS, salt=3).select("doc_id", "split_u"), "doc_id")
+        .collect()
+    )
+    assert any(r["split_u"] != r["shuffle_key"] % 1_000_000 for r in j)
+    # and the split_u draw is not constant within a shard
+    by_shard: dict[int, set[int]] = {}
+    for r in j:
+        by_shard.setdefault(r["shard"], set()).add(r["split_u"])
+    assert all(len(v) > 1 for v in by_shard.values())
+
+
+def test_split_duckdb_twin(docs, sf001_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(sf001_dir, 'documents.parquet')}'"
+    )
+    sql = split_assign_sql(FRACS, salt=5)
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"SELECT doc_id, split, split_u FROM ({sql})"
+        ).fetchall()
+    }
+    got = {
+        r["doc_id"]: (r["split"], r["split_u"])
+        for r in split_assign(docs, FRACS, salt=5)
+        .select("doc_id", "split", "split_u")
+        .collect()
+    }
+    assert got == want
+
+
+def test_incremental_append_equals_full_rebuild(docs, tmp_path):
+    """O(delta) refresh contract: write half A, append half B; the merged
+    manifests and the on-disk per-shard doc sets equal a full rebuild's."""
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    inc_path = str(tmp_path / "inc")
+    man_a = write_training_shards(a, inc_path, N_SHARDS)
+    man_b = append_training_shards(b, inc_path, N_SHARDS)
+    merged = {
+        r["shard"]: (r["n_docs"], r["n_tokens"], r["content_ck"])
+        for r in merge_manifests(man_a, man_b).collect()
+    }
+    full = {
+        r["shard"]: (r["n_docs"], r["n_tokens"], r["content_ck"])
+        for r in shard_manifest(docs, N_SHARDS).collect()
+    }
+    assert merged == full
+
+    # per-shard id sets on disk match a full rebuild's placement, and each
+    # appended segment is internally epoch-ordered
+    expected = {}
+    for r in shard_positions(docs, N_SHARDS).collect():
+        expected.setdefault(r["shard"], set()).add(r["doc_id"])
+    for s in range(N_SHARDS):
+        ids = set()
+        for f in sorted(glob.glob(os.path.join(inc_path, f"shard={s}", "*.parquet"))):
+            t = pq.read_table(f)
+            keys = t.column("shuffle_key").to_pylist()
+            assert keys == sorted(keys), (s, f)
+            ids.update(t.column("doc_id").to_pylist())
+        assert ids == expected.get(s, set()), s

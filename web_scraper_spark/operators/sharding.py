@@ -205,3 +205,135 @@ def shard_manifest_sql(
         FROM {table}
         GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus splits (train/val/test) and O(delta) shard refresh
+# ---------------------------------------------------------------------------
+
+_SPLIT_PPM = 1_000_000  # split fractions quantized to parts-per-million
+
+
+def _split_cuts(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, exclusive upper cut in ppm) in insertion order; integer-exact
+    so Spark and the SQL twin state the identical boundary. The last split
+    absorbs rounding residue (cuts end exactly at 1e6)."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    cuts: list[tuple[str, int]] = []
+    acc = 0
+    names = list(fractions)
+    for i, name in enumerate(names):
+        acc = _SPLIT_PPM if i == len(names) - 1 else acc + round(
+            fractions[name] * _SPLIT_PPM
+        )
+        cuts.append((name, acc))
+    return cuts
+
+
+def split_assign(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test split: split = the first named range
+    whose ppm cut exceeds md5_60(salt || ':split:' || id) % 1e6 — a fresh
+    uniform draw independent of shard placement and shuffle order (its own
+    domain-separation tag), so splitting and sharding compose freely.
+
+    Hash splits are what a pipeline needs at 100 TB: membership is a pure
+    codegen expr on the scan (no global sort/count to cut exact quantiles),
+    stable under corpus growth (a doc never migrates between splits when
+    OTHER docs arrive — the property that keeps eval sets uncontaminated
+    across refreshes), and re-derivable by any engine. Exact-count splits
+    would need a total order; nothing downstream wants one.
+
+    Returns docs + (split string, split_u int — the ppm draw, kept so a
+    reader can audit the boundary)."""
+    u = (
+        md5_60_expr(
+            F.concat(F.lit(f"{salt}:split:"), F.col(id_col).cast("string"))
+        )
+        % _SPLIT_PPM
+    )
+    expr = None
+    for name, cut in reversed(_split_cuts(fractions)):
+        expr = (
+            F.lit(name)
+            if expr is None
+            else F.when(u < F.lit(cut), F.lit(name)).otherwise(expr)
+        )
+    # reversed() makes the FIRST matching cut win: each outer when() tests
+    # a smaller cut, falling through to the larger-range expr built so far
+    return docs.withColumn("split", expr).withColumn(
+        "split_u", u.cast("int")
+    )
+
+
+def split_assign_sql(
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: int = 0,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of split_assign."""
+    arg = f"'{salt}:split:' || CAST({id_col} AS VARCHAR)"
+    u = f"({md5_60_sql(arg)} % {_SPLIT_PPM})"
+    cuts = _split_cuts(fractions)
+    branches = " ".join(
+        f"WHEN split_u < {cut} THEN '{name}'" for name, cut in cuts[:-1]
+    )
+    fallback = cuts[-1][0]
+    case = f"CASE {branches} ELSE '{fallback}' END" if branches else f"'{fallback}'"
+    return f"""
+        SELECT * EXCLUDE (split_u), {case} AS split, split_u
+        FROM (SELECT *, CAST({u} AS INT) AS split_u FROM {table})
+    """
+
+
+def append_training_shards(
+    docs_delta: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: int = 0,
+) -> DataFrame:
+    """O(delta) shard refresh: hash placement is stable, so new documents
+    land in their shards as APPENDED per-shard files — the existing corpus
+    is never rewritten or even read. Each appended file is itself sorted in
+    the delta's epoch order; a loader treats shard=K/ as an ordered list of
+    ordered segments (exactly how streaming-append training data is
+    consumed). Returns the DELTA manifest — combine with the standing one
+    via merge_manifests (checksums/counts add mod p), so maintaining the
+    manifest is O(delta) too: the incremental-dedup contract
+    (dedupops.dedup_keep_ids_incremental) applied to the hand-off step."""
+    assigned = shard_assign(docs_delta, n_shards, id_col=id_col, salt=salt)
+    (
+        assigned.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shuffle_key", id_col)
+        .write.mode("append")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return shard_manifest(
+        docs_delta, n_shards, id_col=id_col, text_col=text_col, salt=salt
+    )
+
+
+def merge_manifests(standing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a delta manifest into the standing one without touching data:
+    counts and token sums add; the modular checksum adds mod p (the whole
+    point of choosing an order-insensitive commutative checksum). Full
+    outer union handles shards the delta didn't touch and (first write)
+    shards with no standing row."""
+    u = standing.unionByName(delta)
+    return u.groupBy("shard").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (F.sum("content_ck") % _CKSUM_MOD).alias("content_ck"),
+    )
