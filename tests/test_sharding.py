@@ -303,3 +303,41 @@ def test_incremental_append_equals_full_rebuild(docs, tmp_path):
             assert keys == sorted(keys), (s, f)
             ids.update(t.column("doc_id").to_pylist())
         assert ids == expected.get(s, set()), s
+
+
+# ---------------------------------------------------------------------------
+# plan shapes — the 100-TB arguments, pinned
+# ---------------------------------------------------------------------------
+
+from web_scraper_spark.plans import audit  # noqa: E402
+
+
+def test_split_assign_plan_is_scan_only(docs):
+    """split membership is a pure codegen expr on the scan: NO exchange of
+    any kind — the property that makes the split free at 100 TB."""
+    df = split_assign(docs, FRACS).select("doc_id", "split")
+    plan = audit.physical_plan(df)
+    assert "Exchange" not in plan
+    assert audit.codegen_stages(df) >= 1
+
+
+def test_shard_manifest_plan_one_partial_agg_exchange(docs):
+    """the manifest is ONE hash exchange on the shard key with a map-side
+    partial aggregate below it (counts/sums/modular checksum all
+    combine) — the manifest of a 100-TB corpus ships n_shards rows."""
+    df = shard_manifest(docs, N_SHARDS)
+    plan = audit.physical_plan(df)
+    assert len(audit.hash_exchanges(df)) == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert not audit.has_cartesian(df)
+
+
+def test_shard_positions_plan_one_exchange(docs):
+    """positions cost exactly the shard writer's own shuffle: one hash
+    exchange on shard, then a per-shard sort + window — nothing global."""
+    df = shard_positions(docs, N_SHARDS)
+    plan = audit.physical_plan(df)
+    assert len(audit.hash_exchanges(df)) == 1
+    assert audit.range_exchanges(df) == 0  # no global sort
+    assert audit.single_partition_exchanges(df) == 0
+    assert "Window" in plan
