@@ -934,6 +934,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_split"] = q_corpus_split
 
+    def q_chunk_docs(spark, sf_dir):
+        """Context-window chunking (sampling.chunk_documents): documents
+        → sliding 64-token windows with 16-token overlap, the step that
+        turns variable-length text into model-context-sized rows. Pure
+        per-row codegen (split + sequence + ONE explode) — no shuffle, no
+        UDF; chunk text ships as its md5-60 fingerprint so every chunk
+        byte is value-checked without bulk text in the comparator."""
+        from web_scraper_spark.operators.sampling import chunk_documents
+
+        return chunk_documents(_docs(spark, sf_dir), 64, 16).select(
+            "doc_id",
+            "chunk_id",
+            "chunk_n",
+            ta.md5_60_expr(F.col("chunk_text")).alias("chunk_fp"),
+        )
+
+    q["chunk_docs"] = q_chunk_docs
+
     q["simhash"] = lambda s, d: _docs(s, d).select(
         "doc_id", dedupops.simhash_expr(F.col("text")).alias("sh")
     )
@@ -2065,6 +2083,13 @@ def oracle_sql() -> dict[str, str]:
     )
     o["corpus_split"] = (
         f"SELECT doc_id, split, split_u FROM ({_split_inner})"
+    )
+    from web_scraper_spark.operators.sampling import chunk_documents_sql
+
+    o["chunk_docs"] = (
+        "SELECT doc_id, chunk_id, chunk_n, "
+        f"{ta.md5_60_sql('chunk_text')} AS chunk_fp "
+        f"FROM ({chunk_documents_sql(64, 16)})"
     )
 
     o["dup_clusters"] = dedupops.dup_clusters_sql(max_hamming=3)

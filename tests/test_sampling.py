@@ -270,3 +270,118 @@ def test_mixture_budgets_equal_per_stratum_scalar_runs(spark):
     }
     got_fr = {(r["doc_id"], r["cum_tokens"]) for r in by_lang["fr"]}
     assert got_fr == want_fr
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents — context-window chunking
+# ---------------------------------------------------------------------------
+
+import os
+
+import duckdb
+
+from web_scraper_spark.operators.sampling import (
+    chunk_documents,
+    chunk_documents_sql,
+)
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _words(n, start=0):
+    return " ".join(f"w{i}" for i in range(start, start + n))
+
+
+def test_chunk_hand_cases(spark):
+    # n=10, C=4, o=1 (stride 3) → 3 chunks at starts 0,3,6
+    d = _mk_docs(spark, [(1, _words(10))])
+    got = {
+        r["chunk_id"]: (r["chunk_text"], r["chunk_n"])
+        for r in chunk_documents(d, 4, 1).collect()
+    }
+    assert got == {
+        0: ("w0 w1 w2 w3", 4),
+        1: ("w3 w4 w5 w6", 4),
+        2: ("w6 w7 w8 w9", 4),
+    }
+    # n=5, C=4, o=1 → tail chunk shorter
+    d = _mk_docs(spark, [(1, _words(5))])
+    got = {
+        r["chunk_id"]: (r["chunk_text"], r["chunk_n"])
+        for r in chunk_documents(d, 4, 1).collect()
+    }
+    assert got == {0: ("w0 w1 w2 w3", 4), 1: ("w3 w4", 2)}
+    # short docs: one chunk; blank docs: none
+    d = _mk_docs(spark, [(1, _words(3)), (2, "   "), (3, "solo")])
+    rows = chunk_documents(d, 4, 1).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["doc_id"], []).append(r)
+    assert set(per) == {1, 3}
+    assert per[1][0]["chunk_text"] == "w0 w1 w2" and per[1][0]["chunk_n"] == 3
+    assert per[3][0]["chunk_text"] == "solo"
+
+
+def test_chunk_params_validated(spark):
+    d = _mk_docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError):
+        chunk_documents(d, 0)
+    with pytest.raises(ValueError):
+        chunk_documents(d, 4, 4)
+    with pytest.raises(ValueError):
+        chunk_documents(d, 4, -1)
+
+
+@pytest.mark.parametrize("C,o", [(8, 0), (8, 3), (5, 4), (64, 16)])
+def test_chunk_reconstruction_and_coverage(spark, C, o):
+    """dropping the first `overlap` tokens of chunks 1..k reconstructs
+    every document exactly — no token lost, none duplicated beyond the
+    declared overlap."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sample = docs.filter(F.col("doc_id") < 40)
+    texts = {r["doc_id"]: r["text"].split() for r in sample.collect()}
+    chunks = {}
+    for r in chunk_documents(sample, C, o).collect():
+        chunks.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_text"].split()
+    for did, toks in texts.items():
+        if not toks:
+            assert did not in chunks
+            continue
+        cs = chunks[did]
+        assert sorted(cs) == list(range(len(cs)))
+        rebuilt = list(cs[0])
+        for i in range(1, len(cs)):
+            assert cs[i][:o] == rebuilt[len(rebuilt) - o :] if o else True
+            rebuilt.extend(cs[i][o:])
+        assert rebuilt == toks, did
+
+
+def test_chunk_plan_no_shuffle(spark):
+    from web_scraper_spark.plans import audit
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = chunk_documents(docs, 64, 16)
+    plan = audit.physical_plan(df)
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the one explode
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_chunk_duckdb_twin(spark):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["chunk_n"])
+        for r in chunk_documents(docs, 32, 8).collect()
+    }
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(chunk_documents_sql(32, 8)).fetchall()
+    }
+    assert got == want

@@ -269,3 +269,110 @@ def pack_sequences_sql(
              CAST({tokens_col} AS BIGINT) AS {tokens_col}
       FROM pack
     """
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window chunking: split each document into sliding windows
+    of `chunk_tokens` whitespace tokens with `overlap` tokens carried
+    between consecutive chunks — the step that turns variable-length
+    documents into model-context-sized training rows (the complement of
+    pack_sequences, which handles the too-SHORT side).
+
+    Chunk i covers token indices [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the tail chunk may be shorter; blank
+    documents produce no chunks. Every token appears in at least one
+    chunk, and dropping the first `overlap` tokens of chunks 1..k
+    reconstructs the document exactly (pinned in tests).
+
+    100 TB shape: pure per-row codegen — split, a `sequence` literal of
+    chunk ids, ONE Generate (explode) — no shuffle, no UDF, no window.
+    Output size is input size × (1 + overlap/stride) by construction; the
+    overlap ratio, not the engine, is the only amplification knob.
+
+    Returns (id_col, chunk_id int, chunk_text string, chunk_n int)."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(id_col, toks.alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+        .withColumn(
+            "_n_chunks",
+            F.when(F.col("_n") <= chunk_tokens, F.lit(1))
+            .otherwise(
+                # ceil((n - chunk_tokens) / stride) + 1, integer-exact
+                F.floor((F.col("_n") - chunk_tokens + stride - 1) / stride)
+                + 1
+            )
+            .cast("int"),
+        )
+    )
+    i = F.col("chunk_id")
+    return (
+        base.select(
+            id_col,
+            "_toks",
+            "_n",
+            F.explode(F.sequence(F.lit(0), F.col("_n_chunks") - 1)).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            id_col,
+            i.cast("int").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("_toks"), i * stride + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), F.col("_n") - i * stride)
+            .cast("int")
+            .alias("chunk_n"),
+        )
+    )
+
+
+def chunk_documents_sql(
+    chunk_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of chunk_documents (list_slice is 1-based inclusive,
+    matching Spark's 1-based slice(start, length))."""
+    if chunk_tokens <= 0 or not (0 <= overlap < chunk_tokens):
+        raise ValueError("bad chunk_tokens/overlap")
+    stride = chunk_tokens - overlap
+    return f"""
+        SELECT {id_col},
+               CAST(i AS INT) AS chunk_id,
+               array_to_string(
+                 list_slice(_toks, i*{stride} + 1,
+                            LEAST(i*{stride} + {chunk_tokens}, _n)),
+                 ' ') AS chunk_text,
+               CAST(LEAST({chunk_tokens}, _n - i*{stride}) AS INT) AS chunk_n
+        FROM (
+          SELECT {id_col}, _toks, _n,
+                 UNNEST(range(CASE WHEN _n <= {chunk_tokens} THEN 1
+                              ELSE (_n - {chunk_tokens} + {stride} - 1)
+                                   // {stride} + 1 END)) AS i
+          FROM (
+            SELECT {id_col},
+                   regexp_split_to_array(trim({text_col}), '\\s+') AS _toks,
+                   len(regexp_split_to_array(trim({text_col}), '\\s+')) AS _n
+            FROM {table}
+            WHERE length(trim({text_col})) > 0
+          )
+        )
+    """
