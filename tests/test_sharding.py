@@ -341,3 +341,103 @@ def test_shard_positions_plan_one_exchange(docs):
     assert audit.range_exchanges(df) == 0  # no global sort
     assert audit.single_partition_exchanges(df) == 0
     assert "Window" in plan
+
+
+# ---------------------------------------------------------------------------
+# streaming shard emission
+# ---------------------------------------------------------------------------
+
+
+class TestShardStream:
+    def test_two_batches_match_full_rebuild_and_replay_is_idempotent(
+        self, spark, tmp_path
+    ):
+        """shard_documents_stream over two micro-batches: the union of
+        batch segments equals a full batch rebuild's placement, the
+        standing manifest equals the batch manifest, every segment is
+        epoch-ordered, and re-emitting a batch (foreachBatch replay after
+        checkpoint recovery) leaves the output byte-identical."""
+        from web_scraper_spark.streaming.shard_stream import (
+            shard_documents_stream,
+            standing_manifest,
+        )
+
+        docs_dir = str(tmp_path / "docs")
+        shards = str(tmp_path / "shards")
+        man = str(tmp_path / "man")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(docs_dir, exist_ok=True)
+
+        def drop(lo, hi, t):
+            spark.createDataFrame(
+                [(i, f"tok{i} " * (3 + i % 5), t) for i in range(lo, hi)],
+                "doc_id long, text string, event_time double",
+            ).coalesce(1).write.mode("append").parquet(docs_dir)
+
+        drop(0, 60, 1.0)
+        shard_documents_stream(
+            spark, docs_dir, shards, man, ckpt, N_SHARDS
+        ).awaitTermination()
+        drop(60, 100, 2.0)
+        shard_documents_stream(
+            spark, docs_dir, shards, man, ckpt, N_SHARDS
+        ).awaitTermination()
+
+        all_docs = spark.createDataFrame(
+            [(i, f"tok{i} " * (3 + i % 5)) for i in range(100)],
+            "doc_id long, text string",
+        )
+        want_place = {}
+        for r in shard_positions(all_docs, N_SHARDS).collect():
+            want_place.setdefault(r["shard"], set()).add(r["doc_id"])
+
+        def read_placement():
+            got = {}
+            orderings = []
+            for f in glob.glob(
+                os.path.join(shards, "ingest_batch=*", "shard=*", "*.parquet")
+            ):
+                s = int(f.split("shard=")[1].split(os.sep)[0])
+                t = pq.read_table(f)
+                got.setdefault(s, set()).update(t.column("doc_id").to_pylist())
+                orderings.append(t.column("shuffle_key").to_pylist())
+            return got, orderings
+
+        got_place, orderings = read_placement()
+        assert got_place == want_place
+        assert all(ks == sorted(ks) for ks in orderings)
+
+        sm = {
+            r["shard"]: (r["n_docs"], r["n_tokens"], r["content_ck"])
+            for r in standing_manifest(spark, man).collect()
+        }
+        bm = {
+            r["shard"]: (r["n_docs"], r["n_tokens"], r["content_ck"])
+            for r in shard_manifest(all_docs, N_SHARDS).collect()
+        }
+        assert sm == bm
+
+        # replay: re-fire the second batch's emit with the SAME batch id
+        # (foreachBatch is at-least-once under checkpoint recovery; ids
+        # are stable within a checkpoint lineage) — output must stay
+        # identical, never double
+        from web_scraper_spark.streaming.shard_stream import emit_shard_batch
+
+        batch_ids = sorted(
+            int(p.split("=")[1])
+            for p in os.listdir(shards)
+            if p.startswith("ingest_batch=")
+        )
+        second = spark.createDataFrame(
+            [(i, f"tok{i} " * (3 + i % 5), 2.0) for i in range(60, 100)],
+            "doc_id long, text string, event_time double",
+        )
+        emit_shard_batch(second, batch_ids[-1], shards, man, N_SHARDS)
+        got2, orderings2 = read_placement()
+        assert got2 == want_place
+        assert all(ks == sorted(ks) for ks in orderings2)
+        sm2 = {
+            r["shard"]: (r["n_docs"], r["n_tokens"], r["content_ck"])
+            for r in standing_manifest(spark, man).collect()
+        }
+        assert sm2 == bm
