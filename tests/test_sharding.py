@@ -441,3 +441,109 @@ class TestShardStream:
             for r in standing_manifest(spark, man).collect()
         }
         assert sm2 == bm
+
+    def test_chained_curation_to_shards(self, spark, tmp_path):
+        """The continuous-pipeline hand-off the docstrings claim: raw docs
+        → curate_documents_stream → its sink dir fed DIRECTLY to
+        shard_documents_stream (CURATED_STREAM_SCHEMA, text on
+        masked_text). Two ingest drops flow through BOTH stages; the
+        final segment placement and standing manifest equal a batch
+        rebuild over the curated frame, and the second drop never
+        rewrites the first drop's shipped segment files (O(delta) at the
+        file level across the whole chain)."""
+        import hashlib
+
+        from web_scraper_spark.streaming.curation_stream import (
+            CURATED_STREAM_SCHEMA,
+            curate_documents_stream,
+        )
+        from web_scraper_spark.streaming.shard_stream import (
+            shard_documents_stream,
+            standing_manifest,
+        )
+
+        docs = str(tmp_path / "docs")
+        kept = str(tmp_path / "kept")
+        shards = str(tmp_path / "shards")
+        man = str(tmp_path / "man")
+        ck1 = str(tmp_path / "ck1")
+        ck2 = str(tmp_path / "ck2")
+        os.makedirs(docs, exist_ok=True)
+
+        base = " ".join(f"w{i}" for i in range(40))
+        ev = spark.createDataFrame(
+            [(" ".join(f"e{i}" for i in range(1, 21)),)], "text string"
+        )
+
+        def drop(rows):
+            spark.createDataFrame(
+                rows, "doc_id long, text string, event_time double"
+            ).coalesce(1).write.mode("append").parquet(docs)
+
+        def run_chain():
+            curate_documents_stream(
+                spark, docs, kept, ck1, ev, quality_min=0.0, dup_frac_max=0.5
+            ).awaitTermination()
+            shard_documents_stream(
+                spark, kept, shards, man, ck2, N_SHARDS,
+                text_col="masked_text", schema=CURATED_STREAM_SCHEMA,
+            ).awaitTermination()
+
+        def seg_hashes():
+            return {
+                f: hashlib.md5(open(f, "rb").read()).hexdigest()
+                for f in glob.glob(
+                    os.path.join(shards, "ingest_batch=*", "shard=*", "*.parquet")
+                )
+            }
+
+        drop([
+            (i, base + f" uniq{i}", 1.0) for i in range(30)
+        ] + [
+            (100, "x " * 60, 1.0),                         # repetition drop
+            (101, base + " e1 e2 e3 e4 e5 e6 e7 e8", 1.0), # contaminated
+            (102, base + " uniq0", 1.0),                   # dup of 0
+        ])
+        run_chain()
+        h1 = seg_hashes()
+        assert h1  # stage 2 actually shipped segments
+
+        drop([
+            (200 + i, base + f" uniq{200 + i}", 2.0) for i in range(20)
+        ] + [
+            (300, base + " uniq5", 2.0),                   # cross-batch dup
+        ])
+        run_chain()
+        h2 = seg_hashes()
+        # O(delta) across the chain: every batch-1 segment file survives
+        # byte-identical; the second drop only ADDED segment dirs
+        assert set(h1) <= set(h2)
+        assert all(h2[f] == h1[f] for f in h1)
+        assert len(h2) > len(h1)
+
+        # final placement + manifest == a batch rebuild over the curated
+        # sink frame (which earlier tests pin equal to batch curation)
+        curated = spark.read.schema(CURATED_STREAM_SCHEMA).parquet(kept)
+        assert {r["doc_id"] for r in curated.select("doc_id").collect()} == (
+            set(range(30)) | set(range(200, 220))
+        )
+        want = {}
+        for r in shard_positions(curated, N_SHARDS).collect():
+            want.setdefault(r["shard"], set()).add(r["doc_id"])
+        got = {}
+        for f in h2:
+            s = int(f.split("shard=")[1].split(os.sep)[0])
+            t = pq.read_table(f)
+            got.setdefault(s, set()).update(t.column("doc_id").to_pylist())
+        assert got == want
+        sm = {
+            r["shard"]: (r["n_docs"], r["n_tokens"], r["content_ck"])
+            for r in standing_manifest(spark, man).collect()
+        }
+        bm = {
+            r["shard"]: (r["n_docs"], r["n_tokens"], r["content_ck"])
+            for r in shard_manifest(
+                curated, N_SHARDS, text_col="masked_text"
+            ).collect()
+        }
+        assert sm == bm

@@ -53,6 +53,16 @@ from ..functions.textanalysis import (
 from .dedup_stream import DOCS_STREAM_SCHEMA
 
 
+# what curate_documents_stream's sink emits — the ingest schema of the
+# next stage (streaming/shard_stream.py reads it with text_col=
+# "masked_text"), so crawl-side curation chains into training-shard
+# emission without a batch hand-off
+CURATED_STREAM_SCHEMA = (
+    "doc_id long, masked_text string, quality double, "
+    "n_tokens long, fp long, event_time double"
+)
+
+
 def eval_gram_hashes(eval_docs: DataFrame, n: int = 8) -> list[int]:
     """The eval set reduced to its distinct n-gram md5-60 hashes — the
     static side of streaming decontamination. Eval sets are small by
