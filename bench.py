@@ -225,6 +225,8 @@ def bench_queries(spark):
         "image_neardup_lsh": run("image_neardup_lsh"),
         "image_batch_buckets": run("image_batch_buckets"),
         "pair_keep_set": run("pair_keep_set"),
+        "pair_corpus_clean": run("pair_corpus_clean"),
+        "dedup_keep_set_incremental": run("dedup_keep_set_incremental"),
         "frame_neardup": run("frame_neardup"),
         "audio_keep_set": run("audio_keep_set"),
         "doc_repetition": run("doc_repetition"),
@@ -236,6 +238,9 @@ def bench_queries(spark):
         "semdedup": run("semdedup"),
         "curation_pipeline": run("curation_pipeline"),
         "shard_positions": run("shard_positions"),
+        "corpus_split": run("corpus_split"),
+        "curated_shard_manifest": run("curated_shard_manifest"),
+        "chunk_docs": run("chunk_docs"),
     }
 
 
