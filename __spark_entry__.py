@@ -1315,6 +1315,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_invariants"] = q_image_invariants
 
+    def q_image_quality(spark, sf_dir):
+        """Decode-side image quality gate (multimodal.image_quality):
+        Laplacian-variance sharpness + histogram entropy + brightness/
+        contrast as scaled integers, and the keep verdict that drops
+        blurry / near-constant / undecodable images before batch assembly
+        — the quality filter geometry checks cannot express. One
+        mapInPandas decode pass, keep as a codegen boolean after it.
+        Three edge rows (flat gray, checkerboard, undecodable jpeg) are
+        unioned so every branch — blur-drop, entropy-drop, quarantine,
+        and pass — provably fires; the oracle re-derives every integer
+        sequentially via the same kernel."""
+        from web_scraper_spark import synth
+        from web_scraper_spark.functions import multimodal
+
+        imgs = synth.images_df(spark, 256, seed=42).select(
+            "image_id", "bytes", "fmt"
+        )
+        edges = spark.createDataFrame(
+            _image_quality_edge_rows(), "image_id string, bytes binary, fmt string"
+        )
+        return multimodal.image_quality(imgs.unionByName(edges))
+
+    q["image_quality"] = q_image_quality
+
     def q_image_batch_buckets(spark, sf_dir):
         """Batch-assembly bucketing (imageops.aspect_bucket_expr /
         area_bucket_expr): every image assigned its (aspect class,
@@ -1846,6 +1870,66 @@ def _image_invariant_values(n: int, seed: int) -> str:
     return ", ".join(rows)
 
 
+@functools.lru_cache(maxsize=1)
+def _image_quality_edge_rows() -> list:
+    """Three handcrafted (image_id, bytes, fmt) rows pinning the quality
+    gate's edge branches: a flat gray image (sharpness 0 AND entropy 0 —
+    both drop reasons), a checkerboard (extreme sharpness but 1-bit
+    entropy — the entropy drop alone), and an undecodable foreign-format
+    row (the quarantine path). Shared verbatim by the Spark query and the
+    oracle derivation."""
+    import numpy as np
+
+    from web_scraper_spark.functions import imageops
+
+    flat = np.full((16, 16, 3), 128, np.uint8)
+    cb = np.zeros((16, 16, 3), np.uint8)
+    cb[::2, ::2] = 255
+    cb[1::2, 1::2] = 255
+    return [
+        ("img-edge-flat", imageops.encode_ppm(flat), "ppm"),
+        ("img-edge-checker", imageops.encode_png(cb), "png"),
+        ("img-edge-bad", b"\xff\xd8 not decodable here", "jpeg"),
+    ]
+
+
+@functools.lru_cache(maxsize=4)
+def _image_quality_values(
+    n: int, seed: int, min_sharp_milli: int, min_ent_milli: int
+) -> str:
+    """(image_id, sharp_milli, ent_milli, mean_milli, std_milli, decode_ok,
+    keep) VALUES literal for the image_quality oracle — the same decode +
+    quality_stats kernel run SEQUENTIALLY in pure pandas/numpy over the
+    same synthetic corpus + edge rows, keep re-derived with the same
+    thresholds, so the distributed Arrow stage is checked integer-for-
+    integer against an independent single-process derivation."""
+    import pandas as pd
+
+    from web_scraper_spark import synth
+    from web_scraper_spark.functions import imageops
+    from web_scraper_spark.functions.multimodal import SUPPORTED_IMAGE_FMTS
+
+    pdf = synth.images_pdf(pd.Series(range(n)), seed)
+    triples = [(r.image_id, bytes(r.bytes), r.fmt) for r in pdf.itertuples(index=False)]
+    triples += [(i, b, f) for i, b, f in _image_quality_edge_rows()]
+    rows = []
+    for iid, data, fmt in triples:
+        if fmt in SUPPORTED_IMAGE_FMTS and data is not None:
+            s = imageops.quality_stats(imageops.decode_image(data, fmt))
+            keep = (
+                s["sharp_milli"] >= min_sharp_milli
+                and s["ent_milli"] >= min_ent_milli
+            )
+            rows.append(
+                f"('{iid}', {s['sharp_milli']}, {s['ent_milli']}, "
+                f"{s['mean_milli']}, {s['std_milli']}, TRUE, "
+                f"{'TRUE' if keep else 'FALSE'})"
+            )
+        else:
+            rows.append(f"('{iid}', NULL, NULL, NULL, NULL, FALSE, FALSE)")
+    return ", ".join(rows)
+
+
 @functools.lru_cache(maxsize=4)
 def _image_resize_values(n: int, seed: int, size: int) -> str:
     """(image_id, w, h, fmt, bytes_md5) VALUES literal for the
@@ -2305,6 +2389,21 @@ GROUP BY 1, 2
     o["image_invariants"] = f"""
       SELECT * FROM (VALUES {_image_invariant_values(256, 42)})
         AS t(image_id, fmt, w_ok, h_ok, phash_ok, decode_ok)
+    """
+
+    # image quality gate: full value oracle — every scaled-integer stat and
+    # the keep verdict re-derived sequentially via the same kernel (the
+    # BIGINT casts keep DuckDB's VALUES inference aligned with LongType).
+    o["image_quality"] = f"""
+      SELECT image_id,
+             CAST(sharp_milli AS BIGINT) AS sharp_milli,
+             CAST(ent_milli AS BIGINT) AS ent_milli,
+             CAST(mean_milli AS BIGINT) AS mean_milli,
+             CAST(std_milli AS BIGINT) AS std_milli,
+             decode_ok, keep
+      FROM (VALUES {_image_quality_values(256, 42, 2_000_000, 4_000)})
+        AS t(image_id, sharp_milli, ent_milli, mean_milli, std_milli,
+             decode_ok, keep)
     """
 
     from web_scraper_spark.functions.imageops import (

@@ -222,6 +222,7 @@ def bench_queries(spark):
         "ann_brute_topk": run("ann_brute_topk"),
         "embedding_sig_neardup": run("embedding_sig_neardup"),
         "image_invariants": run("image_invariants"),
+        "image_quality": run("image_quality"),
         "image_neardup_lsh": run("image_neardup_lsh"),
         "image_batch_buckets": run("image_batch_buckets"),
         "pair_keep_set": run("pair_keep_set"),

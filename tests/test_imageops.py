@@ -220,3 +220,83 @@ def test_batch_buckets_hand_values(spark):
         6: ("square", 16),
         7: ("square", 128),
     }
+
+
+class TestImageQuality:
+    """The decode-side quality gate (multimodal.image_quality /
+    imageops.quality_stats): hand-value kernel pins, distributed ==
+    sequential, quarantine path, threshold semantics, and the plan shape
+    (one Arrow stage, keep as a post-stage codegen boolean, no Exchange)."""
+
+    def test_kernel_hand_values(self):
+        flat = np.full((16, 16, 3), 128, np.uint8)
+        s = imageops.quality_stats(flat)
+        assert s == {
+            "sharp_milli": 0, "ent_milli": 0,
+            "mean_milli": 128000, "std_milli": 0,
+        }
+        cb = np.zeros((16, 16, 3), np.uint8)
+        cb[::2, ::2] = 255
+        cb[1::2, 1::2] = 255
+        s = imageops.quality_stats(cb)
+        # two equal histogram bins -> exactly 1 bit of entropy
+        assert s["ent_milli"] == 1000
+        assert s["sharp_milli"] > 10_000_000  # extreme high-frequency energy
+        assert s["mean_milli"] == 127500 and s["std_milli"] == 127500
+
+    def test_kernel_no_interior_is_sharpness_zero(self):
+        tiny = np.random.default_rng(7).integers(
+            0, 255, (2, 2, 3)
+        ).astype(np.uint8)
+        assert imageops.quality_stats(tiny)["sharp_milli"] == 0
+
+    def test_distributed_equals_sequential(self, spark):
+        import pandas as pd
+
+        imgs = synth.images_df(spark, 64, seed=42, partitions=4)
+        got = {
+            r["image_id"]: (
+                r["sharp_milli"], r["ent_milli"], r["mean_milli"],
+                r["std_milli"], r["decode_ok"], r["keep"],
+            )
+            for r in multimodal.image_quality(imgs).collect()
+        }
+        pdf = synth.images_pdf(pd.Series(range(64)), 42)
+        for r in pdf.itertuples(index=False):
+            s = imageops.quality_stats(
+                imageops.decode_image(bytes(r.bytes), r.fmt)
+            )
+            keep = s["sharp_milli"] >= 2_000_000 and s["ent_milli"] >= 4_000
+            assert got[r.image_id] == (
+                s["sharp_milli"], s["ent_milli"], s["mean_milli"],
+                s["std_milli"], True, keep,
+            ), r.image_id
+
+    def test_quarantine_and_thresholds(self, spark):
+        flat = np.full((16, 16, 3), 128, np.uint8)
+        rows = [
+            ("ok-ish", imageops.encode_ppm(px(0)), "ppm"),
+            ("flat", imageops.encode_ppm(flat), "ppm"),
+            ("bad", b"\x00garbage", "jpeg"),
+            ("none", None, "ppm"),
+        ]
+        df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+        got = {r["image_id"]: r for r in multimodal.image_quality(df).collect()}
+        assert got["flat"]["decode_ok"] and not got["flat"]["keep"]
+        assert got["flat"]["sharp_milli"] == 0 and got["flat"]["ent_milli"] == 0
+        for quarantined in ("bad", "none"):
+            r = got[quarantined]
+            assert not r["decode_ok"] and not r["keep"]
+            assert r["sharp_milli"] is None and r["ent_milli"] is None
+        # the synthetic corpus image passes both thresholds
+        assert got["ok-ish"]["keep"]
+
+    def test_plan_one_arrow_stage_no_exchange(self, spark):
+        from web_scraper_spark.plans import audit
+
+        imgs = synth.images_df(spark, 32, seed=42, partitions=2)
+        out = multimodal.image_quality(imgs)
+        # decode runs in mapInPandas stages only (synth gen + quality);
+        # keep never forces a shuffle or an extra Python pass
+        assert audit.count_op(out, "MapInPandas") == 2
+        assert audit.count_op(out, "Exchange") == 0

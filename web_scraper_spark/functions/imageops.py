@@ -376,3 +376,48 @@ def area_bucket_sql(w: str, h: str, sides=(16, 32, 64, 128)) -> str:
         for s in reversed(sides[1:])
     )
     return f"CASE {branches} ELSE {int(sides[0])} END"
+
+
+# ------------------------------------------------------------- quality stats
+
+
+def quality_stats(arr: np.ndarray) -> dict:
+    """Perceptual-quality statistics of one decoded image (pure numpy,
+    deterministic): the per-row kernel behind the blur/flat filter every
+    image-training pipeline runs before batch assembly.
+
+    - sharp_milli: variance of the 4-neighbor Laplacian over the grayscale
+      interior ×1000 — the classic blur detector (lossy qdct decode
+      measurably lowers it: quantization strips high-frequency energy).
+    - ent_milli: 256-bin grayscale histogram entropy in millibits — flat /
+      near-constant images (failed renders, tracking pixels) land near 0.
+    - mean_milli / std_milli: brightness and global contrast ×1000.
+
+    All outputs are integers (round-half-even on float64), so the
+    distributed run and the sequential oracle derivation agree exactly.
+    """
+    gray = arr.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    if h >= 3 and w >= 3:
+        core = gray[1:-1, 1:-1]
+        lap = (
+            4.0 * core
+            - gray[:-2, 1:-1]
+            - gray[2:, 1:-1]
+            - gray[1:-1, :-2]
+            - gray[1:-1, 2:]
+        )
+        sharp = float(lap.var())
+    else:
+        sharp = 0.0  # no interior: too small to measure blur on
+    hist = np.bincount(
+        np.clip(gray, 0.0, 255.0).astype(np.int64).ravel(), minlength=256
+    )
+    p = hist[hist > 0] / float(gray.size)
+    ent = float(-(p * np.log2(p)).sum())
+    return {
+        "sharp_milli": int(round(sharp * 1000.0)),
+        "ent_milli": int(round(ent * 1000.0)),
+        "mean_milli": int(round(float(gray.mean()) * 1000.0)),
+        "std_milli": int(round(float(gray.std()) * 1000.0)),
+    }
