@@ -1478,6 +1478,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pair_corpus_clean"] = q_pair_corpus_clean
 
+    def q_pair_corpus_clean_quality(spark, sf_dir):
+        """pair_corpus_clean with the DECODE-side quality gate enabled:
+        geometry + caption-token filters (codegen, before any pixel
+        work) → quality_struct_udf inline on the survivors (blurry /
+        near-constant images drop; sharp_milli/ent_milli ride along) →
+        the joint image+caption keep-set. The complete image+caption
+        curation flagship, value-oracled end to end — the oracle replays
+        the gate from sequentially re-derived quality integers."""
+        from web_scraper_spark import synth
+        from web_scraper_spark.operators import pairs as pairs_ops
+
+        imgs = synth.images_df(spark, 512, seed=42).select(
+            "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+        )
+        imgs = imgs.withColumn(
+            "caption",
+            F.when(
+                F.substring("image_id", 14, 1) == "3", F.lit(_BOILER_CAPTION)
+            ).otherwise(F.col("caption")),
+        )
+        from web_scraper_spark.functions.dedupops import register_op_cache
+
+        imgs = register_op_cache(imgs)
+        return pairs_ops.pair_corpus_clean(
+            imgs, min_sharp_milli=2_000_000, min_ent_milli=4_000
+        )
+
+    q["pair_corpus_clean_quality"] = q_pair_corpus_clean_quality
+
     def q_video_frames(spark, sf_dir):
         """Multimodal video: synthesized QV01 clips → REAL container
         parse + qdct frame decode + per-frame phash inside mapInPandas
@@ -1779,6 +1808,25 @@ def _image_pair_full_values(n: int, seed: int) -> str:
         )
         for r in pdf.itertuples()
     )
+
+
+@functools.lru_cache(maxsize=4)
+def _image_quality_milli_values(n: int, seed: int) -> str:
+    """(image_id, sharp_milli, ent_milli) VALUES literal — the quality
+    kernel run sequentially over the synthetic corpus (every synth image
+    decodes, so no quarantine rows here); feeds the
+    pair_corpus_clean_quality oracle's gate stage."""
+    import pandas as pd
+
+    from web_scraper_spark import synth
+    from web_scraper_spark.functions import imageops
+
+    pdf = synth.images_pdf(pd.Series(range(n)), seed)
+    rows = []
+    for r in pdf.itertuples(index=False):
+        s = imageops.quality_stats(imageops.decode_image(bytes(r.bytes), r.fmt))
+        rows.append(f"('{r.image_id}', {s['sharp_milli']}, {s['ent_milli']})")
+    return ", ".join(rows)
 
 
 @functools.lru_cache(maxsize=2)
@@ -2521,6 +2569,57 @@ GROUP BY 1, 2
       )
       SELECT image_id, w, h, fmt, caption, phash,
              n_pixels, aspect, caption_tokens
+      FROM p
+      WHERE image_id NOT IN (SELECT image_id FROM img_drops)
+        AND image_id NOT IN (
+          SELECT id FROM exact_drops UNION SELECT id FROM near_drops)
+    """
+
+    # pair_corpus_clean_quality: the same closure with the decode-side
+    # quality gate between the metadata filters and the dedup stages —
+    # the gate's integers come from the sequentially re-derived kernel
+    # values (every drop and every carried stat is value-checked).
+    o["pair_corpus_clean_quality"] = f"""
+      WITH p0(image_id, w, h, fmt, caption0, phash) AS (VALUES {_pair_full}),
+      qv(image_id, sharp0, ent0) AS
+        (VALUES {_image_quality_milli_values(512, 42)}),
+      p1 AS (
+        SELECT image_id, w, h, fmt, phash,
+               CASE WHEN substr(image_id, 14, 1) = '3'
+                    THEN '{_BOILER_CAPTION}' ELSE caption0 END AS caption
+        FROM p0
+      ),
+      p AS (
+        SELECT p1.image_id, w, h, fmt, caption, phash,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               round(greatest(w, h) / least(w, h), 6) AS aspect,
+               CAST({_cap_tok} AS INTEGER) AS caption_tokens,
+               CAST(qv.sharp0 AS BIGINT) AS sharp_milli,
+               CAST(qv.ent0 AS BIGINT) AS ent_milli
+        FROM p1 JOIN qv ON p1.image_id = qv.image_id
+        WHERE w * h >= 1024
+          AND greatest(w, h) / least(w, h) <= 4.0
+          AND {_cap_tok} >= 4
+          AND qv.sharp0 >= 2000000 AND qv.ent0 >= 4000
+      ),
+      img_drops AS (
+        SELECT DISTINCT b.image_id FROM p a JOIN p b
+          ON a.image_id < b.image_id
+         AND bit_count(xor(a.phash, b.phash)) <= 3
+      ),
+      fp AS (SELECT image_id AS id, {_cap_fp} AS fp FROM p),
+      exact_drops AS (
+        SELECT f.id FROM fp f
+        JOIN (SELECT fp, min(id) AS m FROM fp GROUP BY fp) g
+          ON f.fp = g.fp AND f.id <> g.m
+      ),
+      sh AS (SELECT image_id AS id, {_cap_sh} AS sh FROM p),
+      near_drops AS (
+        SELECT DISTINCT b.id FROM sh a JOIN sh b ON a.id < b.id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      )
+      SELECT image_id, w, h, fmt, caption, phash,
+             n_pixels, aspect, caption_tokens, sharp_milli, ent_milli
       FROM p
       WHERE image_id NOT IN (SELECT image_id FROM img_drops)
         AND image_id NOT IN (

@@ -227,6 +227,7 @@ def bench_queries(spark):
         "image_batch_buckets": run("image_batch_buckets"),
         "pair_keep_set": run("pair_keep_set"),
         "pair_corpus_clean": run("pair_corpus_clean"),
+        "pair_corpus_clean_quality": run("pair_corpus_clean_quality"),
         "dedup_keep_set_incremental": run("dedup_keep_set_incremental"),
         "frame_neardup": run("frame_neardup"),
         "audio_keep_set": run("audio_keep_set"),

@@ -119,3 +119,51 @@ def test_audio_keep_ids_drops_spliced_copies(spark):
         ).collect()
     }
     assert again == kept
+
+
+def test_pair_corpus_clean_quality_gate(spark):
+    """The opt-in decode-quality stage of pair_corpus_clean: drops fire
+    on real kernel values, survivors carry the stats, bytes never leave
+    the composite, and the gate adds NO exchange beyond the baseline
+    composite's plan."""
+    import pandas as pd
+
+    from web_scraper_spark.functions import imageops
+    from web_scraper_spark.plans import audit
+
+    n = 192
+    imgs = synth.images_df(spark, n, seed=42).select(
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+    )
+    base = pairs_ops.pair_corpus_clean(imgs.drop("bytes"))
+    gated = pairs_ops.pair_corpus_clean(
+        imgs, min_sharp_milli=2_000_000, min_ent_milli=4_000
+    )
+    assert "bytes" not in gated.columns
+    assert {"sharp_milli", "ent_milli"} <= set(gated.columns)
+    # the gate is inline (scalar Arrow UDF): no extra shuffle family
+    assert audit.count_op(gated, "Exchange") == audit.count_op(base, "Exchange")
+
+    got = {r["image_id"]: r for r in gated.collect()}
+    base_ids = {r["image_id"] for r in base.collect()}
+    # sequential truth: which baseline survivors pass the quality gate
+    pdf = synth.images_pdf(pd.Series(range(n)), 42)
+    stats = {
+        r.image_id: imageops.quality_stats(
+            imageops.decode_image(bytes(r.bytes), r.fmt)
+        )
+        for r in pdf.itertuples(index=False)
+    }
+    passing = {
+        i for i, s in stats.items()
+        if s["sharp_milli"] >= 2_000_000 and s["ent_milli"] >= 4_000
+    }
+    # on THIS corpus no quality-dropped image is a dedup drop-source, so
+    # the gated result is exactly a subset of the baseline (in general a
+    # gate before dedup may let a near-dup of a gated-out image survive);
+    # the gate provably removes at least one baseline survivor
+    assert set(got) <= base_ids & passing
+    assert (base_ids - passing) and not (set(got) & (base_ids - passing))
+    for iid, r in got.items():
+        assert r["sharp_milli"] == stats[iid]["sharp_milli"]
+        assert r["ent_milli"] == stats[iid]["ent_milli"]

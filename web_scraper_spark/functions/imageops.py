@@ -421,3 +421,40 @@ def quality_stats(arr: np.ndarray) -> dict:
         "mean_milli": int(round(float(gray.mean()) * 1000.0)),
         "std_milli": int(round(float(gray.std()) * 1000.0)),
     }
+
+
+_QUALITY_STRUCT = T.StructType(
+    [
+        T.StructField("sharp_milli", T.LongType()),
+        T.StructField("ent_milli", T.LongType()),
+        T.StructField("mean_milli", T.LongType()),
+        T.StructField("std_milli", T.LongType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+_QUALITY_FMTS = {"ppm", "png", "qdct"}  # = multimodal.SUPPORTED_IMAGE_FMTS
+
+
+@F.pandas_udf(_QUALITY_STRUCT)
+def quality_struct_udf(data: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+    """quality_stats as a SCALAR column (struct): lets a composite filter
+    on decode-side quality INLINE in an existing row stream — no extra
+    mapInPandas pass, no join, no shuffle. Undecodable rows → NULL stats +
+    decode_ok=False (quarantine, never a crash)."""
+    out = {k: [] for k in ("sharp_milli", "ent_milli", "mean_milli", "std_milli")}
+    ok = []
+    for d, f in zip(data, fmt):
+        if f not in _QUALITY_FMTS or d is None:
+            for k in out:
+                out[k].append(None)
+            ok.append(False)
+            continue
+        s = quality_stats(decode_image(bytes(d), f))
+        for k in out:
+            out[k].append(s[k])
+        ok.append(True)
+    return pd.DataFrame(
+        {**{k: pd.Series(v, dtype="Int64") for k, v in out.items()},
+         "decode_ok": ok}
+    )

@@ -165,19 +165,27 @@ def pair_corpus_clean(
     max_phash_hamming: int = 3,
     caption_hamming: int = 3,
     n_bands: int = 4,
+    min_sharp_milli: int | None = None,
+    min_ent_milli: int | None = None,
 ) -> DataFrame:
     """The full multimodal training-pair pipeline as ONE composite — the
     image twin of the text side's corpus_clean: (1) image geometry filter
     (min decoded pixel count, max aspect ratio — the cheap metadata cut a
     pipeline runs before any pixel work), (2) caption token-count filter,
-    (3) the joint image+caption keep-set (pair_keep_ids). Returns each
+    (3) optionally the DECODE-side quality gate (imageops.quality_stats
+    via quality_struct_udf — pass min_sharp_milli/min_ent_milli and an
+    input with a ``bytes`` column): blurry / near-constant / undecodable
+    images drop, with sharp_milli/ent_milli carried on the survivors,
+    (4) the joint image+caption keep-set (pair_keep_ids). Returns each
     surviving pair with its scores (n_pixels, aspect, caption_tokens).
 
     Every stage is an exact kernel with a SQL twin, so the composite is
     value-oracled end to end. Scale shape: the filters are JVM
-    whole-stage-codegen expressions pushed onto the scan; the scored
-    survivor frame is persisted once (registered) and feeds both keep-set
-    derivations and the final join."""
+    whole-stage-codegen expressions pushed onto the scan; the quality gate
+    is a SCALAR Arrow UDF inline in the same row stream — pixels are
+    decoded ONLY for metadata-filter survivors, and the stage adds no
+    exchange; the scored survivor frame is persisted once (registered) and
+    feeds both keep-set derivations and the final join."""
     from ..functions.dedupops import register_op_cache
     from ..functions.textanalysis import token_count_expr
 
@@ -196,6 +204,22 @@ def pair_corpus_clean(
             & (F.col("caption_tokens") >= min_caption_tokens)
         )
     )
+    if min_sharp_milli is not None or min_ent_milli is not None:
+        from ..functions.imageops import quality_struct_udf
+
+        scored = (
+            scored.withColumn(
+                "_q", quality_struct_udf(F.col("bytes"), F.col("fmt"))
+            )
+            .filter(
+                F.col("_q.decode_ok")
+                & (F.col("_q.sharp_milli") >= F.lit(int(min_sharp_milli or 0)))
+                & (F.col("_q.ent_milli") >= F.lit(int(min_ent_milli or 0)))
+            )
+            .withColumn("sharp_milli", F.col("_q.sharp_milli"))
+            .withColumn("ent_milli", F.col("_q.ent_milli"))
+            .drop("_q", "bytes")
+        )
     scored = register_op_cache(scored)
     return pair_keep_ids(
         scored,
