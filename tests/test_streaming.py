@@ -693,3 +693,139 @@ class TestStreamingCuration:
         batch_texts = {r["masked_text"] for r in batch.collect()}
         assert stream_texts == batch_texts
         assert len(stream_texts) > 0
+
+
+class TestStreamingPairCuration:
+    """curate_pairs_stream — the image twin of the docs curation stage:
+    geometry/caption/quality drops fire in-stream with the batch
+    constants, and the two exact-dedup states (image phash, caption fp)
+    keep-FIRST across micro-batches and restarts."""
+
+    @staticmethod
+    def _pair(iid, px, caption, t, fmt="ppm"):
+        import numpy as np  # noqa: F401 (px built by callers)
+
+        from web_scraper_spark.functions import imageops
+
+        data = imageops.encode_image(px, fmt)
+        arr = imageops.decode_image(data, fmt)
+        return (
+            iid, bytearray(data), int(px.shape[1]), int(px.shape[0]), fmt,
+            caption, imageops.phash64(arr), float(t),
+        )
+
+    def test_stage_drops_and_dedup_state(self, spark, tmp_path):
+        import numpy as np
+
+        from web_scraper_spark import synth
+        from web_scraper_spark.streaming.pair_stream import (
+            PAIRS_STREAM_SCHEMA,
+            curate_pairs_stream,
+        )
+
+        pairs = str(tmp_path / "pairs")
+        out = str(tmp_path / "kept")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(pairs, exist_ok=True)
+
+        def drop(rows):
+            spark.createDataFrame(rows, PAIRS_STREAM_SCHEMA).coalesce(
+                1
+            ).write.mode("append").parquet(pairs)
+
+        def run():
+            curate_pairs_stream(spark, pairs, out, ckpt).awaitTermination()
+
+        cap = "a detailed photo of subject number %d in context"
+        good0 = synth.gen_pixels(0, 42)     # 32x32+ gradient+noise: passes
+        good5 = synth.gen_pixels(5, 42)
+        tiny = synth.gen_pixels(1, 42)[:8, :8]          # 64 px: geometry
+        wide = synth.gen_pixels(2, 42)[:8, :]           # check real aspect
+        if wide.shape[1] / wide.shape[0] <= 4.0:        # ensure > 4
+            wide = wide[:4, :]
+        flat = np.full((48, 48, 3), 77, np.uint8)       # quality drop
+
+        drop([
+            self._pair("p-00", good0, cap % 0, 1.0),          # kept
+            self._pair("p-01", tiny, cap % 1, 1.0),           # geometry
+            self._pair("p-02", wide, cap % 2, 1.0),           # aspect
+            self._pair("p-03", good5, "too short", 1.0),      # caption len
+            self._pair("p-04", flat, cap % 4, 1.0),           # quality
+        ])
+        run()
+        got1 = {r["image_id"]: r for r in spark.read.parquet(out).collect()}
+        assert set(got1) == {"p-00"}
+        r = got1["p-00"]
+        assert r["sharp_milli"] >= 2_000_000 and r["ent_milli"] >= 4_000
+        assert r["caption_tokens"] == 9 and r["n_pixels"] == good0.shape[0] * good0.shape[1]
+
+        # batch 2, same checkpoint: a cross-batch image re-post AND a
+        # caption re-use are both suppressed by state (keep-FIRST across
+        # micro-batches — within ONE micro-batch dropDuplicates keeps an
+        # arbitrary representative, so the conflicts are split across
+        # batches here); a brand-new pair flows through
+        good7 = synth.gen_pixels(7, 42)
+        good11 = synth.gen_pixels(11, 42)
+        drop([
+            self._pair("p-10", good0, cap % 10, 2.0),   # phash dup, cross-batch
+            self._pair("p-11", good7, cap % 0, 2.0),    # caption dup, cross-batch
+            self._pair("p-12", good11, cap % 12, 2.0),  # kept
+        ])
+        run()
+        got2 = {r["image_id"] for r in spark.read.parquet(out).collect()}
+        assert got2 == {"p-00", "p-12"}
+
+    def test_matches_sequential_expectation(self, spark, tmp_path):
+        """Streaming keep set == the keep-FIRST expectation re-derived
+        sequentially with the same kernels over the same arrival order."""
+        import pandas as pd
+
+        import hashlib
+
+        from web_scraper_spark import synth
+        from web_scraper_spark.functions import imageops
+        from web_scraper_spark.streaming.pair_stream import (
+            PAIRS_STREAM_SCHEMA,
+            curate_pairs_stream,
+        )
+
+        pairs = str(tmp_path / "pairs")
+        out = str(tmp_path / "kept")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(pairs, exist_ok=True)
+
+        n = 96
+        pdf = synth.images_pdf(pd.Series(range(n)), 42)
+        rows = [
+            (
+                r.image_id, bytearray(bytes(r.bytes)), int(r.w), int(r.h),
+                r.fmt, r.caption, int(r.phash), 1.0,
+            )
+            for r in pdf.itertuples(index=False)
+        ]
+        spark.createDataFrame(rows, PAIRS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(pairs)
+        curate_pairs_stream(spark, pairs, out, ckpt).awaitTermination()
+        got = {r["image_id"] for r in spark.read.parquet(out).collect()}
+
+        seen_ph, seen_fp, expected = set(), set(), set()
+        for r in pdf.itertuples(index=False):  # id order == arrival order
+            if int(r.w) * int(r.h) < 1024:
+                continue
+            if max(r.w, r.h) / min(r.w, r.h) > 4.0:
+                continue
+            if len(r.caption.split()) < 4:
+                continue
+            s = imageops.quality_stats(
+                imageops.decode_image(bytes(r.bytes), r.fmt)
+            )
+            if s["sharp_milli"] < 2_000_000 or s["ent_milli"] < 4_000:
+                continue
+            fp = int(hashlib.md5(r.caption.encode()).hexdigest()[:15], 16)
+            if int(r.phash) in seen_ph or fp in seen_fp:
+                continue
+            seen_ph.add(int(r.phash))
+            seen_fp.add(fp)
+            expected.add(r.image_id)
+        assert got == expected and expected
