@@ -547,3 +547,106 @@ class TestShardStream:
             ).collect()
         }
         assert sm == bm
+
+
+class TestPairShardChain:
+    def test_chained_pair_curation_to_shards(self, spark, tmp_path):
+        """The IMAGE twin of the chained hand-off: raw image+caption pairs
+        → curate_pairs_stream → its sink dir fed DIRECTLY to
+        shard_documents_stream (CURATED_PAIRS_SCHEMA, id on image_id,
+        text on caption). Two ingest drops flow through BOTH stages; the
+        final segment placement and standing manifest equal a batch
+        rebuild over the curated frame, and the second drop never
+        rewrites the first drop's shipped segment files (O(delta) at the
+        file level across the whole chain)."""
+        import hashlib
+
+        import pandas as pd
+
+        from web_scraper_spark import synth
+        from web_scraper_spark.streaming.pair_stream import (
+            CURATED_PAIRS_SCHEMA,
+            PAIRS_STREAM_SCHEMA,
+            curate_pairs_stream,
+        )
+        from web_scraper_spark.streaming.shard_stream import (
+            shard_documents_stream,
+            standing_manifest,
+        )
+
+        pairs = str(tmp_path / "pairs")
+        kept = str(tmp_path / "kept")
+        shards = str(tmp_path / "shards")
+        man = str(tmp_path / "man")
+        ck1 = str(tmp_path / "ck1")
+        ck2 = str(tmp_path / "ck2")
+        os.makedirs(pairs, exist_ok=True)
+
+        def drop(ids, t):
+            pdf = synth.images_pdf(pd.Series(ids), 42)
+            rows = [
+                (
+                    r.image_id, bytearray(bytes(r.bytes)), int(r.w), int(r.h),
+                    r.fmt, r.caption, int(r.phash), t,
+                )
+                for r in pdf.itertuples(index=False)
+            ]
+            spark.createDataFrame(rows, PAIRS_STREAM_SCHEMA).coalesce(
+                1
+            ).write.mode("append").parquet(pairs)
+
+        def run_chain():
+            curate_pairs_stream(spark, pairs, kept, ck1).awaitTermination()
+            shard_documents_stream(
+                spark, kept, shards, man, ck2, N_SHARDS,
+                id_col="image_id", text_col="caption",
+                schema=CURATED_PAIRS_SCHEMA,
+            ).awaitTermination()
+
+        def seg_hashes():
+            return {
+                f: hashlib.md5(open(f, "rb").read()).hexdigest()
+                for f in glob.glob(
+                    os.path.join(shards, "ingest_batch=*", "shard=*", "*.parquet")
+                )
+            }
+
+        drop(range(48), 1.0)
+        run_chain()
+        h1 = seg_hashes()
+        assert h1  # stage 2 actually shipped segments
+
+        drop(range(200, 232), 2.0)
+        run_chain()
+        h2 = seg_hashes()
+        # O(delta) across the chain: every batch-1 segment file survives
+        # byte-identical; the second drop only ADDED segment dirs
+        assert set(h1) <= set(h2)
+        assert all(h2[f] == h1[f] for f in h1)
+        assert len(h2) > len(h1)
+
+        # final placement + manifest == a batch rebuild over the curated
+        # sink frame (whose keep decisions TestStreamingPairCuration pins
+        # against the batch kernels)
+        curated = spark.read.schema(CURATED_PAIRS_SCHEMA).parquet(kept)
+        assert curated.count() > 0
+        want = {}
+        for r in shard_positions(curated, N_SHARDS, id_col="image_id").collect():
+            want.setdefault(r["shard"], set()).add(r["image_id"])
+        got = {}
+        for f in h2:
+            s = int(f.split("shard=")[1].split(os.sep)[0])
+            t = pq.read_table(f)
+            got.setdefault(s, set()).update(t.column("image_id").to_pylist())
+        assert got == want
+        sm = {
+            r["shard"]: (r["n_docs"], r["n_tokens"], r["content_ck"])
+            for r in standing_manifest(spark, man).collect()
+        }
+        bm = {
+            r["shard"]: (r["n_docs"], r["n_tokens"], r["content_ck"])
+            for r in shard_manifest(
+                curated, N_SHARDS, id_col="image_id", text_col="caption"
+            ).collect()
+        }
+        assert sm == bm
