@@ -1362,6 +1362,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_batch_buckets"] = q_image_batch_buckets
 
+    def q_pair_corpus_report(spark, sf_dir):
+        """Pair-corpus observability (the image twin of corpus_report):
+        per (fmt, aspect-bucket) group — pair count, total pixels, EXACT
+        integer sums of the decode-quality stats, how many pairs the
+        quality gate would drop, and mean caption tokens. One decode pass
+        (quality_struct_udf inline) + ONE partial-agg-friendly groupBy;
+        all sums are integers so the distributed aggregate matches the
+        oracle bit-for-bit regardless of combine order."""
+        from web_scraper_spark import synth
+        from web_scraper_spark.functions import imageops
+
+        imgs = synth.images_df(spark, 256, seed=42)
+        d = imgs.select(
+            "fmt",
+            imageops.aspect_bucket_expr(F.col("w"), F.col("h")).alias("ar_bucket"),
+            (F.col("w") * F.col("h")).cast("long").alias("n_pixels"),
+            imageops.quality_struct_udf(F.col("bytes"), F.col("fmt")).alias("_q"),
+            ta.token_count_expr(F.col("caption")).cast("long").alias("cap_tokens"),
+        )
+        return d.groupBy("fmt", "ar_bucket").agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("n_pixels").alias("total_pixels"),
+            F.sum(F.col("_q.sharp_milli")).alias("sum_sharp_milli"),
+            F.sum(F.col("_q.ent_milli")).alias("sum_ent_milli"),
+            F.sum(
+                F.when(
+                    (F.col("_q.sharp_milli") < 2_000_000)
+                    | (F.col("_q.ent_milli") < 4_000),
+                    F.lit(1),
+                ).otherwise(F.lit(0)).cast("long")
+            ).alias("n_quality_fail"),
+            F.round(F.sum("cap_tokens") / F.count(F.lit(1)), 6).alias(
+                "mean_caption_tokens"
+            ),
+        )
+
+    q["pair_corpus_report"] = q_pair_corpus_report
+
     def q_image_resize(spark, sf_dir):
         """Training-shard normalizer (multimodal.resize_images): decode →
         deterministic area-resample to 16×16 → re-encode ppm, all inside
@@ -2473,6 +2511,32 @@ GROUP BY 1, 2
     o["image_resize"] = f"""
       SELECT * FROM (VALUES {_image_resize_values(128, 42, 16)})
         AS t(image_id, w, h, fmt, bytes_md5)
+    """
+
+    # pair corpus report: metadata from the pair VALUES, quality integers
+    # from the sequentially re-derived kernel VALUES; integer sums combine
+    # order-free, so the whole report value-checks exactly.
+    from web_scraper_spark.functions.textanalysis import (
+        token_count_sql as _tok_sql_pairs,
+    )
+
+    o["pair_corpus_report"] = f"""
+      WITH p(image_id, w, h, fmt, caption, phash) AS
+        (VALUES {_image_pair_full_values(256, 42)}),
+      qv(image_id, sharp0, ent0) AS
+        (VALUES {_image_quality_milli_values(256, 42)})
+      SELECT fmt,
+             {aspect_bucket_sql('w', 'h')} AS ar_bucket,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CAST(w AS BIGINT) * h) AS BIGINT) AS total_pixels,
+             CAST(sum(sharp0) AS BIGINT) AS sum_sharp_milli,
+             CAST(sum(ent0) AS BIGINT) AS sum_ent_milli,
+             CAST(sum(CASE WHEN sharp0 < 2000000 OR ent0 < 4000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_fail,
+             round(sum({_tok_sql_pairs('caption')}) / count(*), 6)
+               AS mean_caption_tokens
+      FROM p JOIN qv USING (image_id)
+      GROUP BY 1, 2
     """
 
     o["image_neardup_lsh"] = f"""

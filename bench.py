@@ -223,6 +223,7 @@ def bench_queries(spark):
         "embedding_sig_neardup": run("embedding_sig_neardup"),
         "image_invariants": run("image_invariants"),
         "image_quality": run("image_quality"),
+        "pair_corpus_report": run("pair_corpus_report"),
         "image_neardup_lsh": run("image_neardup_lsh"),
         "image_batch_buckets": run("image_batch_buckets"),
         "pair_keep_set": run("pair_keep_set"),
