@@ -1545,6 +1545,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pair_corpus_clean_quality"] = q_pair_corpus_clean_quality
 
+    def q_pair_keep_set_incremental(spark, sf_dir):
+        """'Train on NEW pairs only' (pairs.pair_keep_ids_incremental):
+        the shipped corpus (synth images 0..255) enters ONLY as its
+        materialized pair_index (id, phash, caption fp, caption simhash)
+        — old pixels and captions never rescanned; the new batch
+        (_pair_incremental_new_rows: fresh pairs + injected image
+        re-posts + caption re-uses, so every drop path provably fires)
+        is joint-keep-setted against it with OLD-ALWAYS-WINS precedence.
+        Banded equi-joins throughout, pigeonhole-exact ⇒ fully
+        value-oracled."""
+        from web_scraper_spark import synth
+        from web_scraper_spark.operators import pairs as pairs_ops
+
+        old = synth.images_df(spark, 256, seed=42).select("image_id", "caption", "phash")
+        old_index = pairs_ops.pair_index(old)
+        new_pairs = spark.createDataFrame(
+            _pair_incremental_new_rows(),
+            "image_id string, caption string, phash long",
+        )
+        return pairs_ops.pair_keep_ids_incremental(new_pairs, old_index)
+
+    q["pair_keep_set_incremental"] = q_pair_keep_set_incremental
+
     def q_video_frames(spark, sf_dir):
         """Multimodal video: synthesized QV01 clips → REAL container
         parse + qdct frame decode + per-frame phash inside mapInPandas
@@ -1845,6 +1868,54 @@ def _image_pair_full_values(n: int, seed: int) -> str:
             r.image_id, r.w, r.h, r.fmt, r.caption.replace("'", "''"), r.phash
         )
         for r in pdf.itertuples()
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _pair_incremental_new_rows() -> list:
+    """The NEW pair batch for pair_keep_set_incremental, as
+    (image_id, caption, phash) tuples — shared verbatim by the Spark
+    query and the oracle VALUES literal. Composition against the OLD
+    corpus (synth images 0..255, seed 42):
+
+    - fresh synth pairs ids 300..363 (includes the built-in within-new
+      image near-dup: 304 is a perturbed copy of 303);
+    - three IMAGE RE-POSTS: an old image's exact phash under a new id
+      with a brand-new caption (the image stage's old-wins drop);
+    - three CAPTION RE-USES: an old caption verbatim on a fresh image
+      (synth ids 400..402 — the caption stage's old-wins drop)."""
+    import pandas as pd
+
+    from web_scraper_spark import synth
+
+    fresh = synth.images_pdf(pd.Series(range(300, 364)), 42)
+    extra = synth.images_pdf(pd.Series(range(400, 403)), 42)
+    old = synth.images_pdf(pd.Series([8, 40, 72, 3, 9, 27]), 42)
+    by_id = {r.image_id: r for r in old.itertuples(index=False)}
+    rows = [
+        (r.image_id, r.caption, int(r.phash))
+        for r in fresh.itertuples(index=False)
+    ]
+    for k in (8, 40, 72):
+        o = by_id[f"img-{k:010d}"]
+        rows.append(
+            (
+                f"new-imgdup-{k:04d}",
+                f"a brand new caption written for replay number {k} today",
+                int(o.phash),
+            )
+        )
+    for k, e in zip((3, 9, 27), extra.itertuples(index=False)):
+        o = by_id[f"img-{k:010d}"]
+        rows.append((f"new-capdup-{k:04d}", o.caption, int(e.phash)))
+    return rows
+
+
+@functools.lru_cache(maxsize=1)
+def _pair_incremental_new_values() -> str:
+    return ", ".join(
+        "('{}', '{}', {})".format(i, c.replace("'", "''"), p)
+        for i, c, p in _pair_incremental_new_rows()
     )
 
 
@@ -2511,6 +2582,51 @@ GROUP BY 1, 2
     o["image_resize"] = f"""
       SELECT * FROM (VALUES {_image_resize_values(128, 42, 16)})
         AS t(image_id, w, h, fmt, bytes_md5)
+    """
+
+    # incremental pair keep-set: old corpus as VALUES → its (phash, fp, sh)
+    # index derived in SQL; new batch from the shared literal; drops
+    # replay the operator's old-wins precedence exactly.
+    from web_scraper_spark.functions.textanalysis import (
+        md5_60_sql as _inc_md5_sql,
+    )
+
+    _inc_cap_fp = _inc_md5_sql("caption")
+    _inc_cap_sh = dedupops.simhash_sql("caption")
+    o["pair_keep_set_incremental"] = f"""
+      WITH old_p(image_id, w, h, fmt, caption, phash) AS
+        (VALUES {_image_pair_full_values(256, 42)}),
+      old_i AS (
+        SELECT image_id AS id, phash, {_inc_cap_fp} AS fp,
+               {_inc_cap_sh} AS sh
+        FROM old_p
+      ),
+      new_p(image_id, caption, phash) AS
+        (VALUES {_pair_incremental_new_values()}),
+      new_i AS (
+        SELECT image_id AS id, phash, {_inc_cap_fp} AS fp,
+               {_inc_cap_sh} AS sh
+        FROM new_p
+      ),
+      drops AS (
+        SELECT n.id FROM new_i n JOIN old_i o
+          ON bit_count(xor(n.phash, o.phash)) <= 3
+        UNION
+        SELECT a.id FROM new_i a JOIN new_i b
+          ON b.id < a.id AND bit_count(xor(a.phash, b.phash)) <= 3
+        UNION
+        SELECT n.id FROM new_i n WHERE n.fp IN (SELECT fp FROM old_i)
+        UNION
+        SELECT a.id FROM new_i a JOIN new_i b ON b.id < a.id AND a.fp = b.fp
+        UNION
+        SELECT n.id FROM new_i n JOIN old_i o
+          ON bit_count(xor(n.sh, o.sh)) <= 3
+        UNION
+        SELECT a.id FROM new_i a JOIN new_i b
+          ON b.id < a.id AND bit_count(xor(a.sh, b.sh)) <= 3
+      )
+      SELECT image_id FROM new_p
+      WHERE image_id NOT IN (SELECT id FROM drops)
     """
 
     # pair corpus report: metadata from the pair VALUES, quality integers

@@ -230,6 +230,7 @@ def bench_queries(spark):
         "pair_corpus_clean": run("pair_corpus_clean"),
         "pair_corpus_clean_quality": run("pair_corpus_clean_quality"),
         "dedup_keep_set_incremental": run("dedup_keep_set_incremental"),
+        "pair_keep_set_incremental": run("pair_keep_set_incremental"),
         "frame_neardup": run("frame_neardup"),
         "audio_keep_set": run("audio_keep_set"),
         "doc_repetition": run("doc_repetition"),

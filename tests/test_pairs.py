@@ -167,3 +167,54 @@ def test_pair_corpus_clean_quality_gate(spark):
     for iid, r in got.items():
         assert r["sharp_milli"] == stats[iid]["sharp_milli"]
         assert r["ent_milli"] == stats[iid]["ent_milli"]
+
+
+class TestPairKeepIncremental:
+    def test_old_always_wins_even_with_smaller_new_id(self, spark):
+        """Precedence: shipped pairs cannot be untrained — a new pair
+        whose id sorts BEFORE the old near-dup's id still drops, on both
+        the image and the caption axis."""
+        old = synth.images_df(spark, 32, seed=42).select(
+            "image_id", "caption", "phash"
+        )
+        idx = pairs_ops.pair_index(old)
+        o5 = synth.images_pdf([5], 42).iloc[0]
+        new = spark.createDataFrame(
+            [
+                ("aaa-imgdup", "a wholly new caption about something else", int(o5.phash)),
+                ("aaa-capdup", o5.caption, -4242424242424242421),
+                ("aaa-fresh", "one caption nobody ever wrote before now", 4611686018427387905),
+            ],
+            "image_id string, caption string, phash long",
+        )
+        kept = {
+            r["image_id"]
+            for r in pairs_ops.pair_keep_ids_incremental(new, idx).collect()
+        }
+        assert kept == {"aaa-fresh"}
+
+    def test_equals_joint_keep_set_when_old_ids_sort_first(self, spark):
+        """When every old id < every new id, the incremental result
+        equals pair_keep_ids(old ∪ new) restricted to the new ids (the
+        text twin's pinned property, on the joint image+caption axes)."""
+        old = synth.images_df(spark, 64, seed=42).select(
+            "image_id", "caption", "phash"
+        )
+        new = (
+            synth.images_df(spark, 164, seed=42)
+            .filter(F.col("image_id") >= "img-0000000100")
+            .select("image_id", "caption", "phash")
+        )
+        inc = {
+            r["image_id"]
+            for r in pairs_ops.pair_keep_ids_incremental(
+                new, pairs_ops.pair_index(old)
+            ).collect()
+        }
+        joint = {
+            r["image_id"]
+            for r in pairs_ops.pair_keep_ids(old.unionByName(new)).collect()
+        }
+        new_ids = {r["image_id"] for r in new.select("image_id").collect()}
+        assert inc == (joint & new_ids)
+        assert inc  # non-vacuous

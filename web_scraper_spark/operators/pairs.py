@@ -319,3 +319,104 @@ def dedup_pairs(pairs: DataFrame, images: DataFrame, max_hamming: int = 3) -> Da
     """Training pairs minus near-duplicate images (anti-join on the LSH
     drop set) — the corpus-side twin of the URL-seen dedup."""
     return pairs.join(neardup_image_ids(images, max_hamming), "image_id", "left_anti")
+
+
+def pair_index(
+    pairs: DataFrame, id_col: str = "image_id", caption_col: str = "caption"
+) -> DataFrame:
+    """Materialized incremental-dedup index of an already-kept pair
+    corpus: (id, phash, fp, sh) — the image phash plus the caption's
+    60-bit fingerprint and simhash. The pair twin of dedupops.dedup_index
+    (same production contract: maintain it per batch so old pixels AND
+    old captions are never rescanned)."""
+    from ..functions.dedupops import simhash_expr
+    from ..functions.textanalysis import md5_60_expr
+
+    return pairs.select(
+        F.col(id_col).alias("id"),
+        "phash",
+        md5_60_expr(F.col(caption_col)).alias("fp"),
+        simhash_expr(F.col(caption_col)).alias("sh"),
+    )
+
+
+def pair_keep_ids_incremental(
+    new_pairs: DataFrame,
+    old_index: DataFrame,
+    max_phash_hamming: int = 3,
+    caption_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """'Train on new pairs only' — the incremental joint keep-set: given
+    the materialized index of everything already shipped (pair_index) and
+    a NEW batch of pairs, return the new ids worth training on. A new
+    pair survives iff its image is not a phash near-dup (hamming <=
+    max_phash_hamming) of ANY old image nor of a smaller-id new image,
+    AND its caption is not an exact/simhash near-dup of any old caption
+    nor of a smaller-id new caption.
+
+    Precedence matches the text twin (dedup_keep_ids_incremental): OLD
+    ALWAYS WINS — shipped pairs cannot be untrained, so a new near-dup
+    drops even when its id sorts first. Old and new id spaces must be
+    disjoint (the catalog contract). When every old id < every new id
+    this equals pair_keep_ids(old ∪ new) restricted to the new ids.
+
+    Scale shape: the caption side IS the text machinery
+    (dedup_keep_ids_incremental over caption, probing the (fp, sh) index
+    columns); the image side is one banded phash equi-join of the new
+    batch against old ∪ new — per-batch cost O(new × bands) plus
+    band-bucket probes, never a rescan of old pixels, never O(n²)."""
+    from ..functions.dedupops import (
+        dedup_keep_ids_incremental,
+        register_op_cache,
+    )
+    from ..functions.imageops import hamming_expr, phash_band_exprs
+
+    assert max_phash_hamming < n_bands, "pigeonhole guarantee needs n_bands > max_hamming"
+    assert 64 % n_bands == 0, "n_bands must divide 64"
+
+    cap_keep = dedup_keep_ids_incremental(
+        None,
+        new_pairs,
+        max_hamming=caption_hamming,
+        id_col="image_id",
+        text_col="caption",
+        n_bands=n_bands,
+        old_index=old_index.select("id", "fp", "sh"),
+    )
+
+    new_ph = register_op_cache(
+        new_pairs.select(
+            F.col("image_id").alias("id"), "phash", F.lit("new").alias("src")
+        )
+    )
+    both = new_ph.unionByName(old_index.select("id", "phash", F.lit("old").alias("src")))
+
+    def bands(df):
+        return df.select(
+            "id", "phash", "src",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("band"), e.alias("bv"))
+                        for i, e in enumerate(
+                            phash_band_exprs(F.col("phash"), n_bands)
+                        )
+                    ]
+                )
+            ).alias("bb"),
+        ).select("id", "phash", "src", "bb.band", "bb.bv")
+
+    probe = bands(new_ph).select(
+        F.col("id").alias("nid"), F.col("phash").alias("nph"), "band", "bv"
+    )
+    # band-copy duplicates in the drop set are absorbed by the anti-join —
+    # no distinct exchange needed (same argument as neardup_image_pairs's
+    # dedup=False path)
+    img_drops = (
+        probe.join(bands(both), ["band", "bv"])
+        .filter((F.col("src") == "old") | (F.col("id") < F.col("nid")))
+        .filter(hamming_expr(F.col("nph"), F.col("phash")) <= max_phash_hamming)
+        .select(F.col("nid").alias("image_id"))
+    )
+    return cap_keep.join(img_drops, "image_id", "left_anti")
