@@ -1400,6 +1400,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pair_corpus_report"] = q_pair_corpus_report
 
+    def q_pair_batch_sample(spark, sf_dir):
+        """Batch assembly under a budget: per (aspect, resolution) batch
+        bucket — the shape-homogeneous unit a loader pads/crops within —
+        keep the SHARPEST pairs (decode-side sharp_milli as the priority)
+        until the bucket's caption-token budget is exhausted: the image
+        twin of mixture_sample, on the SAME two-phase token_budget_sample
+        operator (bucket totals first, per-row window only at the
+        boundary priority). One decode pass supplies the priority; the
+        oracle states the naive one-window semantics over the pair +
+        quality VALUES."""
+        from web_scraper_spark import synth
+        from web_scraper_spark.functions import imageops
+        from web_scraper_spark.operators import sampling
+
+        imgs = synth.images_df(spark, 256, seed=42)
+        ar = imageops.aspect_bucket_expr(F.col("w"), F.col("h"))
+        res = imageops.area_bucket_expr(F.col("w"), F.col("h"))
+        d = imgs.select(
+            "image_id",
+            F.concat_ws("_", ar, res.cast("string")).alias("batch_key"),
+            imageops.quality_struct_udf(F.col("bytes"), F.col("fmt"))[
+                "sharp_milli"
+            ].alias("priority"),
+            ta.token_count_expr(F.col("caption")).cast("long").alias("tokens"),
+        )
+        return sampling.token_budget_sample(
+            d, 600, stratum_col="batch_key", id_col="image_id",
+            priority_col="priority", tokens_col="tokens",
+        )
+
+    q["pair_batch_sample"] = q_pair_batch_sample
+
     def q_image_resize(spark, sf_dir):
         """Training-shard normalizer (multimodal.resize_images): decode →
         deterministic area-resample to 16×16 → re-encode ppm, all inside
@@ -2628,6 +2660,36 @@ GROUP BY 1, 2
       SELECT image_id FROM new_p
       WHERE image_id NOT IN (SELECT id FROM drops)
     """
+
+    # pair batch sample: the same one-window oracle statement as the text
+    # mixture, over pair metadata ⋈ sequentially re-derived quality.
+    from web_scraper_spark.functions.textanalysis import (
+        token_count_sql as _tok_sql_pairs,
+    )
+    from web_scraper_spark.operators.sampling import (
+        token_budget_sample_sql as _tbs_sql,
+    )
+
+    o["pair_batch_sample"] = _tbs_sql(
+        f"""(
+          SELECT p.image_id,
+                 concat({aspect_bucket_sql('w', 'h')}, '_',
+                        CAST({area_bucket_sql('w', 'h')} AS VARCHAR))
+                   AS batch_key,
+                 CAST(qv.sharp0 AS BIGINT) AS priority,
+                 CAST({_tok_sql_pairs('caption')} AS BIGINT) AS tokens
+          FROM (VALUES {_image_pair_full_values(256, 42)})
+            p(image_id, w, h, fmt, caption, phash)
+          JOIN (VALUES {_image_quality_milli_values(256, 42)})
+            qv(image_id, sharp0, ent0)
+            ON p.image_id = qv.image_id
+        )""",
+        600,
+        stratum_col="batch_key",
+        id_col="image_id",
+        priority_col="priority",
+        tokens_col="tokens",
+    )
 
     # pair corpus report: metadata from the pair VALUES, quality integers
     # from the sequentially re-derived kernel VALUES; integer sums combine

@@ -224,6 +224,7 @@ def bench_queries(spark):
         "image_invariants": run("image_invariants"),
         "image_quality": run("image_quality"),
         "pair_corpus_report": run("pair_corpus_report"),
+        "pair_batch_sample": run("pair_batch_sample"),
         "image_neardup_lsh": run("image_neardup_lsh"),
         "image_batch_buckets": run("image_batch_buckets"),
         "pair_keep_set": run("pair_keep_set"),
