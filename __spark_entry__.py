@@ -1061,6 +1061,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["semdedup"] = q_semdedup
 
+    def q_pair_alignment(spark, sf_dir):
+        """CLIP-score alignment gate (simsearch.pair_alignment): each
+        training pair carries an image embedding and a caption embedding;
+        misaligned pairs (caption describes a different image) score low
+        and drop. The pair table derives deterministically from the
+        embeddings view in BOTH engines: pair i's image side is vector i
+        and its caption side is vector i again (aligned), except every
+        5th pair reads vector i+1 and every remaining 7th reads vector
+        i+3 (misaligned — near-orthogonal in this corpus), so the drop
+        path provably fires with a spread of boundary scores. Scoring is
+        row-local codegen; the only shuffle is the embedding fetch join."""
+        e = _emb(spark, sf_dir).withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        cap_id = (
+            F.when(F.col("vec_id") % 5 == 0, F.col("vec_id") + 1)
+            .when(F.col("vec_id") % 7 == 0, F.col("vec_id") + 3)
+            .otherwise(F.col("vec_id"))
+        )
+        p = e.select(
+            F.col("vec_id").alias("pair_id"),
+            F.col("embedding").alias("image_emb"),
+            cap_id.alias("cap_vec_id"),
+        )
+        caps = e.select(
+            F.col("vec_id").alias("cap_vec_id"),
+            F.col("embedding").alias("caption_emb"),
+        )
+        # inner join: pairs whose misaligned caption id runs past the
+        # corpus end vanish identically in both engines (no modulo, so
+        # the construction needs no corpus-size constant)
+        pairs = p.join(caps, "cap_vec_id").select(
+            "pair_id", "image_emb", "caption_emb"
+        )
+        return simsearch.pair_alignment(pairs, threshold=0.35)
+
+    q["pair_alignment"] = q_pair_alignment
+
     def q_cosine_to_query(spark, sf_dir):
         e = _emb(spark, sf_dir).withColumn("embedding", F.col("embedding").cast("array<double>"))
         qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
@@ -2883,6 +2921,23 @@ GROUP BY 1, 2
              round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
       FROM d a JOIN d b ON a.vec_id < b.vec_id
       WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.35
+    """
+
+    o["pair_alignment"] = """
+      WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+      p AS (
+        SELECT vec_id AS pair_id, embedding AS img,
+               CASE WHEN vec_id % 5 = 0 THEN vec_id + 1
+                    WHEN vec_id % 7 = 0 THEN vec_id + 3
+                    ELSE vec_id END AS cap_vec_id
+        FROM d
+      ),
+      j AS (
+        SELECT p.pair_id,
+               round(list_cosine_similarity(p.img, c.embedding), 6) AS alignment
+        FROM p JOIN d c ON c.vec_id = p.cap_vec_id
+      )
+      SELECT pair_id, alignment, alignment >= 0.35 AS keep FROM j
     """
 
     o["embedding_dup_clusters"] = dedupops.cc_closure_sql(

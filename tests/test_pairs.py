@@ -218,3 +218,66 @@ class TestPairKeepIncremental:
         new_ids = {r["image_id"] for r in new.select("image_id").collect()}
         assert inc == (joint & new_ids)
         assert inc  # non-vacuous
+
+
+class TestPairAlignment:
+    """simsearch.pair_alignment — the CLIP-score curation gate."""
+
+    def _score(self, spark, rows, threshold=0.5):
+        from web_scraper_spark.functions import simsearch
+
+        df = spark.createDataFrame(
+            rows, "pair_id string, image_emb array<double>, caption_emb array<double>"
+        )
+        out = simsearch.pair_alignment(df, threshold=threshold)
+        return {r["pair_id"]: (r["alignment"], r["keep"]) for r in out.collect()}
+
+    def test_hand_values(self, spark):
+        got = self._score(
+            spark,
+            [
+                ("identical", [1.0, 0.0], [1.0, 0.0]),     # cos 1.0
+                ("orthogonal", [1.0, 0.0], [0.0, 1.0]),    # cos 0.0
+                ("opposite", [1.0, 0.0], [-1.0, 0.0]),     # cos -1.0
+                ("scaled", [2.0, 0.0], [0.5, 0.0]),        # norm-invariant
+                ("angled", [1.0, 0.0], [1.0, 1.0]),        # cos 1/sqrt(2)
+            ],
+        )
+        assert got["identical"] == (1.0, True)
+        assert got["orthogonal"] == (0.0, False)
+        assert got["opposite"] == (-1.0, False)
+        assert got["scaled"] == (1.0, True)
+        assert got["angled"] == (0.707107, True)
+
+    def test_boundary_decides_on_rounded_value(self, spark):
+        # raw cosine just UNDER the threshold but rounding to exactly it:
+        # keep must be True because both engines compare the round(,6)
+        # value (the cross-engine boundary rule)
+        import math
+
+        theta = math.acos(0.4999996)  # rounds to 0.5
+        got = self._score(
+            spark,
+            [("boundary", [1.0, 0.0], [math.cos(theta), math.sin(theta)])],
+            threshold=0.5,
+        )
+        assert got["boundary"] == (0.5, True)
+
+    def test_scoring_stage_is_exchange_free(self, spark):
+        """The gate itself is row-local codegen: no Exchange, no UDF
+        (python worker), no join — whatever plan feeds the embedding
+        columns, alignment adds zero shuffle."""
+        from web_scraper_spark.functions import simsearch
+
+        df = spark.createDataFrame(
+            [("p0", [1.0, 0.0], [0.0, 1.0])],
+            "pair_id string, image_emb array<double>, caption_emb array<double>",
+        )
+        plan = (
+            simsearch.pair_alignment(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "Python" not in plan  # no UDF in the scoring path

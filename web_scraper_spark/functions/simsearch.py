@@ -59,6 +59,40 @@ def cosine_sql(a: str, b: str) -> str:
 
 
 # --------------------------------------------------------------------------
+# image<->caption alignment gate (the CLIP-score filter)
+# --------------------------------------------------------------------------
+
+
+def pair_alignment(
+    pairs: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "pair_id",
+    img_col: str = "image_emb",
+    cap_col: str = "caption_emb",
+) -> DataFrame:
+    """Alignment scoring over (image embedding, caption embedding) pairs —
+    the LAION-style "CLIP score" curation gate: a pair whose two
+    modalities don't describe the same thing scores low and is dropped
+    before training.
+
+    Returns (id_col, alignment, keep). The encoder itself is out of
+    scope (no model weights in this engine); the gate takes the two
+    embedding columns as input, which is exactly the shape a batch
+    inference stage hands over. Scoring is the native zip_with/aggregate
+    cosine — pure JVM codegen, row-local, zero shuffle, linear at 10^10
+    pairs. `keep` is decided on the ROUND(,6) value so the boundary
+    decision is identical in the DuckDB twin (float-assoc guard, same
+    rule as cosine_dup_pairs).
+    """
+    a = F.round(cosine_expr(F.col(img_col), F.col(cap_col)), 6)
+    return pairs.select(
+        F.col(id_col),
+        a.alias("alignment"),
+        (a >= F.lit(float(threshold))).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
 # exact brute-force top-k
 # --------------------------------------------------------------------------
 
