@@ -754,6 +754,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pii_scrub"] = q_pii_scrub
 
+    def q_boilerplate_scrub(spark, sf_dir):
+        """CCNet-style line-level boilerplate scrub
+        (curation.boilerplate_scrub): lines shared by >= 25 documents
+        drop; blank lines and under-threshold shared lines survive. The
+        corpus has no newlines, so the query wraps each document with
+        deterministic page chrome replayed identically in SQL — a nav bar
+        (half the docs), a cookie banner (a quarter), a copyright footer
+        (half) → all provably dropped; a 'section N' line shared by only
+        ~n/150 docs and an injected blank line → provably kept. Every
+        byte of the rebuilt text is value-checked via clean_fp."""
+        from web_scraper_spark.functions import curation as cu
+
+        d = _docs(spark, sf_dir)
+        t = F.concat_ws(
+            "\n",
+            F.when(F.col("doc_id") % 4 <= 1, F.lit("HOME | ABOUT | CONTACT")),
+            F.when(
+                F.col("doc_id") % 4 == 1, F.lit("Accept all cookies to continue")
+            ),
+            F.col("text"),
+            F.concat(F.lit("section "), (F.col("doc_id") % 150).cast("string")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("(c) 2026 Example Corp - all rights reserved"),
+            ),
+        )
+        out = cu.boilerplate_scrub(
+            d.select("doc_id", t.alias("text")), min_docs=25
+        )
+        return out.select(
+            "doc_id",
+            ta.md5_60_expr(F.col("clean_text")).alias("clean_fp"),
+            "n_lines",
+            "n_dropped",
+        )
+
+    q["boilerplate_scrub"] = q_boilerplate_scrub
+
     def _curated(spark, sf_dir):
         """Shared by curation_pipeline and curated_shard_manifest: the
         injected train/eval corpus (PII on doc_id % 7 / % 11, an eval
@@ -2514,6 +2553,23 @@ def oracle_sql() -> dict[str, str]:
              {_cu.pii_ipv4_count_sql(f'({_pii_t})')} AS n_ipv4,
              {ta.md5_60_sql(_cu.pii_mask_sql(f'({_pii_t})'))} AS masked_fp
       FROM documents
+    """
+
+    _boiler_wrap = """
+      SELECT doc_id, concat_ws(chr(10),
+        CASE WHEN doc_id % 4 <= 1 THEN 'HOME | ABOUT | CONTACT' END,
+        CASE WHEN doc_id % 4 = 1 THEN 'Accept all cookies to continue' END,
+        text,
+        'section ' || CAST(doc_id % 150 AS VARCHAR),
+        CASE WHEN doc_id % 3 = 0 THEN '' END,
+        CASE WHEN doc_id % 2 = 0 THEN '(c) 2026 Example Corp - all rights reserved' END
+      ) AS text FROM documents
+    """
+    o["boilerplate_scrub"] = f"""
+      WITH scrubbed AS ({_cu.boilerplate_scrub_sql(_boiler_wrap, min_docs=25)})
+      SELECT doc_id, {ta.md5_60_sql('clean_text')} AS clean_fp,
+             n_lines, n_dropped
+      FROM scrubbed
     """
 
     o["semdedup"] = simsearch.semdedup_sql(threshold=0.35, n_clusters=16)

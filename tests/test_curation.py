@@ -264,3 +264,55 @@ class TestCurateCorpus:
             quality_min=0.0, dup_frac_max=1.0, max_hamming=0,
         ).collect()
         assert out[0]["masked_text"] == "write to <EMAIL> from <IP> now please ok"
+
+
+class TestBoilerplateScrub:
+    """curation.boilerplate_scrub — CCNet-style line-level cleaner."""
+
+    def _run(self, spark, rows, min_docs=3):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = cu.boilerplate_scrub(df, min_docs=min_docs)
+        return {
+            r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_dropped"])
+            for r in out.collect()
+        }
+
+    def test_frequent_lines_drop_rare_lines_stay(self, spark):
+        nav = "HOME | ABOUT"
+        rows = [
+            (1, f"{nav}\nunique one\nshared pair"),
+            (2, f"{nav}\nunique two\nshared pair"),
+            (3, f"{nav}\nunique three"),
+        ]
+        got = self._run(spark, rows, min_docs=3)
+        # nav appears in 3 docs -> dropped; 'shared pair' in 2 -> kept
+        assert got[1] == ("unique one\nshared pair", 3, 1)
+        assert got[2] == ("unique two\nshared pair", 3, 1)
+        assert got[3] == ("unique three", 2, 1)
+
+    def test_line_order_preserved(self, spark):
+        rows = [(1, "z last\na first\nm middle")]
+        got = self._run(spark, rows, min_docs=99)
+        assert got[1][0] == "z last\na first\nm middle"
+
+    def test_blank_lines_never_count_and_are_kept(self, spark):
+        rows = [(i, "\nbody %d\n" % i) for i in range(5)]
+        got = self._run(spark, rows, min_docs=2)
+        # the blank first/last lines repeat in all 5 docs but never count
+        assert got[0] == ("\nbody 0\n", 3, 0)
+
+    def test_all_boilerplate_doc_survives_empty(self, spark):
+        rows = [(1, "nav"), (2, "nav"), (3, "nav"), (4, "nav\nkeep me")]
+        got = self._run(spark, rows, min_docs=3)
+        assert got[1] == ("", 1, 1)
+        assert got[4] == ("keep me", 2, 1)
+
+    def test_no_python_in_plan(self, spark):
+        df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+        plan = (
+            cu.boilerplate_scrub(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Python" not in plan  # explode/agg/join/rebuild all JVM-side

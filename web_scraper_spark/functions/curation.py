@@ -188,6 +188,114 @@ def pii_mask_sql(text: str) -> str:
 
 
 # --------------------------------------------------------------------------
+# line-level boilerplate scrub (the CCNet-style nav/footer cleaner)
+# --------------------------------------------------------------------------
+
+
+def boilerplate_scrub(
+    docs: DataFrame,
+    min_docs: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop lines that repeat across >= min_docs documents — the
+    CCNet-style line-level cleaner that strips navigation bars, cookie
+    banners and copyright footers a page-level dedup never sees (those
+    lines ride inside otherwise-unique documents).
+
+    Returns (id_col, clean_text, n_lines, n_dropped) for EVERY input
+    document (a doc whose lines are all boilerplate survives with
+    clean_text = ''). Semantics: lines split on '\\n', compared byte-exact
+    via md5_60 (the corpus fingerprint the exact-dedup family already
+    uses); blank lines (trim = '') never count toward frequency and are
+    always kept.
+
+    Scale shape: explode → one distinct-count aggregate on the 64-bit
+    line key (partial-agg friendly; count-distinct of doc ids plans as
+    Spark's two-phase expand) → equi-join back (never broadcast — the
+    frequent-line set is data-dependent) → per-document ordered rebuild
+    (collect_list is bounded by single-document size, the same per-row
+    bound every per-doc kernel here has). No UDF, no O(n²), no
+    driver-side data.
+    """
+    sid = F.col(id_col)
+    lines = docs.select(
+        sid,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("line_fp", md5_60_expr(F.col("line")))
+    freq = (
+        lines.filter(F.trim(F.col("line")) != "")
+        .groupBy("line_fp")
+        .agg(F.count_distinct(sid).alias("n_docs"))
+    )
+    boiler = freq.filter(F.col("n_docs") >= int(min_docs)).select("line_fp")
+    kept = lines.join(boiler, "line_fp", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            sid,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+
+
+def boilerplate_scrub_sql(
+    docs_cte: str,
+    min_docs: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin: identical split / md5_60 line key / blank-line and
+    threshold rules, rebuilt with an ORDER BY pos string_agg.
+    ``docs_cte`` is the body of a CTE producing (id_col, text_col)."""
+    fp = md5_60_sql("line")
+    return f"""
+      WITH d AS ({docs_cte}),
+      l AS (
+        SELECT {id_col},
+               unnest(generate_series(1, len(string_split({text_col}, chr(10))))) AS pos,
+               unnest(string_split({text_col}, chr(10))) AS line
+        FROM d
+      ),
+      lf AS (SELECT {id_col}, pos, line, {fp} AS line_fp FROM l),
+      boiler AS (
+        SELECT line_fp FROM lf WHERE trim(line) <> ''
+        GROUP BY line_fp HAVING count(DISTINCT {id_col}) >= {int(min_docs)}
+      ),
+      kept AS (
+        SELECT * FROM lf WHERE line_fp NOT IN (SELECT line_fp FROM boiler)
+      ),
+      rebuilt AS (
+        SELECT {id_col},
+               string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY {id_col}
+      ),
+      totals AS (SELECT {id_col}, count(*) AS n_lines FROM lf GROUP BY {id_col})
+      SELECT t.{id_col},
+             coalesce(r.clean_text, '') AS clean_text,
+             CAST(t.n_lines AS BIGINT) AS n_lines,
+             CAST(t.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
+      FROM totals t LEFT JOIN rebuilt r USING ({id_col})
+    """
+
+
+# --------------------------------------------------------------------------
 # end-to-end curation pipeline
 # --------------------------------------------------------------------------
 
