@@ -240,6 +240,8 @@ def bench_queries(spark):
         "mixture_sample": run("mixture_sample"),
         "decontaminate": run("decontaminate"),
         "pii_scrub": run("pii_scrub"),
+        "boilerplate_scrub": run("boilerplate_scrub"),
+        "pair_alignment": run("pair_alignment"),
         "semdedup": run("semdedup"),
         "curation_pipeline": run("curation_pipeline"),
         "shard_positions": run("shard_positions"),

@@ -240,7 +240,11 @@ def boilerplate_scrub(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    # n_lines is row-local on the ORIGINAL frame (size of the split array)
+    # — no third pass over the exploded corpus
+    totals = docs.select(
+        sid, F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines")
+    )
     return (
         totals.join(rebuilt, id_col, "left")
         .select(
