@@ -1654,6 +1654,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pair_corpus_clean_quality"] = q_pair_corpus_clean_quality
 
+    def q_pair_corpus_clean_aligned(spark, sf_dir):
+        """pair_corpus_clean with the CLIP-score alignment gate in its
+        production position: geometry + caption-token filters → alignment
+        >= 0.9 on the (image_emb, caption_emb) columns an upstream
+        inference stage attached (JVM cosine, before any pixel work) →
+        the joint keep-set. Pair k carries embedding vector k % n_emb on
+        both sides (alignment 1.0) except every 9th pair, whose caption
+        side reads the NEXT vector (near-orthogonal in this corpus →
+        provably dropped). The embedding attachment is two equi-joins on
+        vec_id replayed identically in SQL; n_emb enters as one bounded
+        driver scalar (the oracle's scalar-subquery twin)."""
+        from web_scraper_spark import synth
+        from web_scraper_spark.functions.dedupops import register_op_cache
+        from web_scraper_spark.operators import pairs as pairs_ops
+
+        imgs = synth.images_df(spark, 512, seed=42).select(
+            "image_id", "w", "h", "fmt", "caption", "phash"
+        )
+        e = _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        n_emb = e.count()
+        k = F.substring("image_id", 5, 10).cast("long")
+        img_vid = k % n_emb
+        cap_vid = F.when(k % 9 == 0, (k + 1) % n_emb).otherwise(img_vid)
+        w = (
+            imgs.withColumn("_ivid", img_vid)
+            .withColumn("_cvid", cap_vid)
+            .join(
+                e.select(
+                    F.col("vec_id").alias("_ivid"),
+                    F.col("emb").alias("image_emb"),
+                ),
+                "_ivid",
+            )
+            .join(
+                e.select(
+                    F.col("vec_id").alias("_cvid"),
+                    F.col("emb").alias("caption_emb"),
+                ),
+                "_cvid",
+            )
+            .drop("_ivid", "_cvid")
+        )
+        w = register_op_cache(w)
+        return pairs_ops.pair_corpus_clean(w, min_alignment=0.9)
+
+    q["pair_corpus_clean_aligned"] = q_pair_corpus_clean_aligned
+
     def q_pair_keep_set_incremental(spark, sf_dir):
         """'Train on NEW pairs only' (pairs.pair_keep_ids_incremental):
         the shipped corpus (synth images 0..255) enters ONLY as its
@@ -2956,6 +3005,63 @@ GROUP BY 1, 2
       )
       SELECT image_id, w, h, fmt, caption, phash,
              n_pixels, aspect, caption_tokens, sharp_milli, ent_milli
+      FROM p
+      WHERE image_id NOT IN (SELECT image_id FROM img_drops)
+        AND image_id NOT IN (
+          SELECT id FROM exact_drops UNION SELECT id FROM near_drops)
+    """
+
+    # pair_corpus_clean_aligned: the same closure with the CLIP-score
+    # alignment gate between the metadata filters and the dedup stages —
+    # embeddings attach via the identical two vec_id equi-joins, and the
+    # corpus size enters as a scalar subquery (the Spark side's one
+    # bounded driver count).
+    o["pair_corpus_clean_aligned"] = f"""
+      WITH p0(image_id, w, h, fmt, caption, phash) AS (VALUES {_pair_full}),
+      d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      n AS (SELECT count(*) AS n_emb FROM d),
+      pa AS (
+        SELECT p0.*,
+               round(list_cosine_similarity(ei.emb, ec.emb), 6) AS alignment
+        FROM p0 CROSS JOIN n
+        JOIN d ei
+          ON ei.vec_id = CAST(substr(image_id, 5) AS BIGINT) % n.n_emb
+        JOIN d ec
+          ON ec.vec_id = CASE
+               WHEN CAST(substr(image_id, 5) AS BIGINT) % 9 = 0
+               THEN (CAST(substr(image_id, 5) AS BIGINT) + 1) % n.n_emb
+               ELSE CAST(substr(image_id, 5) AS BIGINT) % n.n_emb END
+      ),
+      p AS (
+        SELECT image_id, w, h, fmt, caption, phash,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               round(greatest(w, h) / least(w, h), 6) AS aspect,
+               CAST({_cap_tok} AS INTEGER) AS caption_tokens,
+               alignment
+        FROM pa
+        WHERE w * h >= 1024
+          AND greatest(w, h) / least(w, h) <= 4.0
+          AND {_cap_tok} >= 4
+          AND alignment >= 0.9
+      ),
+      img_drops AS (
+        SELECT DISTINCT b.image_id FROM p a JOIN p b
+          ON a.image_id < b.image_id
+         AND bit_count(xor(a.phash, b.phash)) <= 3
+      ),
+      fp AS (SELECT image_id AS id, {_cap_fp} AS fp FROM p),
+      exact_drops AS (
+        SELECT f.id FROM fp f
+        JOIN (SELECT fp, min(id) AS m FROM fp GROUP BY fp) g
+          ON f.fp = g.fp AND f.id <> g.m
+      ),
+      sh AS (SELECT image_id AS id, {_cap_sh} AS sh FROM p),
+      near_drops AS (
+        SELECT DISTINCT b.id FROM sh a JOIN sh b ON a.id < b.id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      )
+      SELECT image_id, w, h, fmt, caption, phash,
+             n_pixels, aspect, caption_tokens, alignment
       FROM p
       WHERE image_id NOT IN (SELECT image_id FROM img_drops)
         AND image_id NOT IN (

@@ -281,3 +281,34 @@ class TestPairAlignment:
         )
         assert "Exchange" not in plan
         assert "Python" not in plan  # no UDF in the scoring path
+
+
+def test_pair_corpus_clean_alignment_gate(spark):
+    """min_alignment drops exactly the misaligned pairs (orthogonal
+    caption embedding) from the composite, before the keep-set; the
+    alignment score rides on survivors and the embeddings do not."""
+    base = synth.images_df(spark, 64, seed=42).select(
+        "image_id", "w", "h", "fmt", "caption", "phash"
+    )
+    k = F.substring("image_id", 5, 10).cast("long")
+    w = base.withColumn(
+        "image_emb", F.array(F.lit(1.0), F.lit(0.0))
+    ).withColumn(
+        "caption_emb",
+        F.when(k % 9 == 0, F.array(F.lit(0.0), F.lit(1.0))).otherwise(
+            F.array(F.lit(1.0), F.lit(0.0))
+        ),
+    )
+    gated = pairs_ops.pair_corpus_clean(w, min_alignment=0.9)
+    plain = pairs_ops.pair_corpus_clean(base)
+    got = {r["image_id"]: r["alignment"] for r in gated.collect()}
+    plain_ids = {r["image_id"] for r in plain.collect()}
+    misaligned = {
+        r["image_id"]
+        for r in base.filter(k % 9 == 0).select("image_id").collect()
+    }
+    assert set(got) == plain_ids - misaligned
+    assert misaligned & plain_ids  # the drop path provably fired
+    assert all(v == 1.0 for v in got.values())
+    assert "image_emb" not in gated.columns
+    assert "caption_emb" not in gated.columns

@@ -167,15 +167,22 @@ def pair_corpus_clean(
     n_bands: int = 4,
     min_sharp_milli: int | None = None,
     min_ent_milli: int | None = None,
+    min_alignment: float | None = None,
 ) -> DataFrame:
     """The full multimodal training-pair pipeline as ONE composite — the
     image twin of the text side's corpus_clean: (1) image geometry filter
     (min decoded pixel count, max aspect ratio — the cheap metadata cut a
     pipeline runs before any pixel work), (2) caption token-count filter,
-    (3) optionally the DECODE-side quality gate (imageops.quality_stats
-    via quality_struct_udf — pass min_sharp_milli/min_ent_milli and an
-    input with a ``bytes`` column): blurry / near-constant / undecodable
-    images drop, with sharp_milli/ent_milli carried on the survivors,
+    (2b) optionally the CLIP-score alignment gate (pass min_alignment and
+    an input carrying ``image_emb``/``caption_emb`` array columns from an
+    upstream inference stage — simsearch.pair_alignment's rule, applied
+    BEFORE the Arrow decode gate because the JVM cosine is cheaper than a
+    pixel decode; ``alignment`` rides on the survivors, the embeddings do
+    not), (3) optionally the DECODE-side quality gate
+    (imageops.quality_stats via quality_struct_udf — pass
+    min_sharp_milli/min_ent_milli and an input with a ``bytes`` column):
+    blurry / near-constant / undecodable images drop, with
+    sharp_milli/ent_milli carried on the survivors,
     (4) the joint image+caption keep-set (pair_keep_ids). Returns each
     surviving pair with its scores (n_pixels, aspect, caption_tokens).
 
@@ -204,6 +211,21 @@ def pair_corpus_clean(
             & (F.col("caption_tokens") >= min_caption_tokens)
         )
     )
+    if min_alignment is not None:
+        from ..functions.simsearch import pair_alignment  # noqa: F401 (rule doc)
+        from ..functions.simsearch import cosine_expr
+
+        # same round-then-compare boundary rule as simsearch.pair_alignment;
+        # row-local codegen, so it adds zero exchange and runs before the
+        # (more expensive) Arrow decode stage
+        a = F.round(
+            cosine_expr(F.col("image_emb"), F.col("caption_emb")), 6
+        )
+        scored = (
+            scored.withColumn("alignment", a)
+            .filter(F.col("alignment") >= F.lit(float(min_alignment)))
+            .drop("image_emb", "caption_emb")
+        )
     if min_sharp_milli is not None or min_ent_milli is not None:
         from ..functions.imageops import quality_struct_udf
 
