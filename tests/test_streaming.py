@@ -829,3 +829,61 @@ class TestStreamingPairCuration:
             seen_fp.add(fp)
             expected.add(r.image_id)
         assert got == expected and expected
+
+
+class TestStreamingPairAlignment:
+    """curate_pairs_stream(min_alignment=...) — the CLIP-score gate as a
+    STATELESS in-stream stage: misaligned pairs drop before dedup, and a
+    gated-out pair leaves no trace in the dedup state."""
+
+    def test_gate_drops_misaligned_without_state(self, spark, tmp_path):
+        from web_scraper_spark import synth
+        from web_scraper_spark.streaming.pair_stream import (
+            PAIRS_EMB_STREAM_SCHEMA,
+            curate_pairs_stream,
+        )
+
+        pairs = str(tmp_path / "pairs")
+        out = str(tmp_path / "kept")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(pairs, exist_ok=True)
+
+        aligned = ([1.0, 0.0], [1.0, 0.0])
+        misaligned = ([1.0, 0.0], [0.0, 1.0])
+
+        def pair(iid, k, caption, t, vecs):
+            base = TestStreamingPairCuration._pair(
+                iid, synth.gen_pixels(k, 42), caption, t
+            )
+            return base + (list(vecs[0]), list(vecs[1]))
+
+        def drop(rows):
+            spark.createDataFrame(rows, PAIRS_EMB_STREAM_SCHEMA).coalesce(
+                1
+            ).write.mode("append").parquet(pairs)
+
+        def run():
+            curate_pairs_stream(
+                spark, pairs, out, ckpt, min_alignment=0.9
+            ).awaitTermination()
+
+        cap = "a detailed photo of subject number %d in context"
+        drop([
+            pair("p-00", 0, cap % 0, 1.0, aligned),      # kept
+            pair("p-01", 5, cap % 1, 1.0, misaligned),   # gate drop
+        ])
+        run()
+        got1 = {r["image_id"] for r in spark.read.parquet(out).collect()}
+        assert got1 == {"p-00"}
+
+        # p-01's pixels re-post ALIGNED in batch 2: the gate is stateless,
+        # so the earlier gated-out pair must not have claimed the phash —
+        # this pair is kept. A re-post of p-00's pixels stays suppressed
+        # by the real dedup state.
+        drop([
+            pair("p-10", 5, cap % 10, 2.0, aligned),     # kept (no ghost state)
+            pair("p-11", 0, cap % 11, 2.0, aligned),     # phash dup of p-00
+        ])
+        run()
+        got2 = {r["image_id"] for r in spark.read.parquet(out).collect()}
+        assert got2 == {"p-00", "p-10"}

@@ -45,6 +45,13 @@ PAIRS_STREAM_SCHEMA = (
     "caption string, phash long, event_time double"
 )
 
+# ingest schema when an upstream inference stage attached embeddings —
+# required iff min_alignment is set (the CLIP-score gate)
+PAIRS_EMB_STREAM_SCHEMA = (
+    PAIRS_STREAM_SCHEMA
+    + ", image_emb array<double>, caption_emb array<double>"
+)
+
 # what the sink emits — batch pair_corpus_clean_quality's columns plus
 # event_time, so periodic batch near-dup passes read it directly
 CURATED_PAIRS_SCHEMA = (
@@ -65,6 +72,7 @@ def curate_pairs_stream(
     min_caption_tokens: int = 4,
     min_sharp_milli: int = 2_000_000,
     min_ent_milli: int = 4_000,
+    min_alignment: float | None = None,
     ttl: float | None = None,
 ):
     """Start the pair-curation stream (availableNow trigger: drains
@@ -72,8 +80,20 @@ def curate_pairs_stream(
     dropping more files to continue against the same checkpoint — the
     keep-FIRST dedup contract lives in the checkpoint state).
     Returns the StreamingQuery. Sink rows: CURATED_PAIRS_SCHEMA, one per
-    KEPT pair."""
-    src = spark.readStream.schema(PAIRS_STREAM_SCHEMA).parquet(pairs_dir)
+    KEPT pair.
+
+    With ``min_alignment`` set, the source must carry the
+    PAIRS_EMB_STREAM_SCHEMA embedding columns and the CLIP-score gate
+    (batch rule: round-6 cosine >= threshold, simsearch.pair_alignment)
+    runs STATELESS between the metadata filters and the decode gate —
+    codegen only, so it adds no state store and no exchange, and the
+    embedding arrays are dropped at the gate so neither the dedup state
+    nor the shuffle ever carries a vector payload."""
+    schema = (
+        PAIRS_EMB_STREAM_SCHEMA if min_alignment is not None
+        else PAIRS_STREAM_SCHEMA
+    )
+    src = spark.readStream.schema(schema).parquet(pairs_dir)
     scored = (
         src.withColumn("n_pixels", (F.col("w") * F.col("h")).cast("long"))
         .withColumn(
@@ -88,6 +108,17 @@ def curate_pairs_stream(
             & (F.col("caption_tokens") >= min_caption_tokens)
         )
     )
+    if min_alignment is not None:
+        from ..functions.simsearch import cosine_expr
+
+        a = F.round(
+            cosine_expr(F.col("image_emb"), F.col("caption_emb")), 6
+        )
+        scored = (
+            scored.withColumn("alignment", a)
+            .filter(F.col("alignment") >= F.lit(float(min_alignment)))
+            .drop("image_emb", "caption_emb", "alignment")
+        )
     gated = (
         scored.withColumn("_q", quality_struct_udf(F.col("bytes"), F.col("fmt")))
         .filter(
