@@ -1525,6 +1525,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_resize"] = q_image_resize
 
+    def q_image_bucket_resize(spark, sf_dir):
+        """Batch-assembly normalizer (multimodal.resize_to_buckets): every
+        image resized to the canonical shape of ITS (aspect, resolution)
+        batch bucket — square s → s×s, wide → 2s×s, tall → s×2s — with
+        the bucket's batch_key attached for shape-homogeneous loader
+        batches. Targets are integer codegen exprs on metadata; the
+        decode → per-row-target resample → re-encode is ONE mapInPandas
+        stage; every output byte value-checked via bytes_md5."""
+        from web_scraper_spark import synth
+        from web_scraper_spark.functions import multimodal
+
+        imgs = synth.images_df(spark, 128, seed=42)
+        out = multimodal.resize_to_buckets(imgs)
+        return out.select(
+            "image_id", "w", "h", "fmt",
+            F.md5(F.col("bytes")).alias("bytes_md5"), "batch_key",
+        )
+
+    q["image_bucket_resize"] = q_image_bucket_resize
+
     def q_image_neardup_lsh(spark, sf_dir):
         """phash near-duplicate pruning (J6) on the image table: LSH band
         self-join over the persisted (id, phash) projection
@@ -2268,6 +2288,38 @@ def _image_resize_values(n: int, seed: int, size: int) -> str:
     return ", ".join(rows)
 
 
+def _image_bucket_resize_values(n: int, seed: int) -> str:
+    """(image_id, w, h, fmt, bytes_md5, batch_key) VALUES literal for the
+    image_bucket_resize oracle — per-bucket target dims + the decode →
+    rectangular area-resample → ppm re-encode chain re-run sequentially,
+    every output byte pinned via md5."""
+    import hashlib
+
+    import pandas as pd
+
+    from web_scraper_spark import synth
+    from web_scraper_spark.functions import imageops
+    from web_scraper_spark.functions.multimodal import _area_resize_wh
+
+    pdf = synth.images_pdf(pd.Series(range(n)), seed)
+    rows = []
+    for r in pdf.itertuples(index=False):
+        tw, th = imageops.bucket_target_dims(int(r.w), int(r.h))
+        if int(r.w) * 3 > int(r.h) * 4:
+            ar = "wide"
+        elif int(r.w) * 4 < int(r.h) * 3:
+            ar = "tall"
+        else:
+            ar = "square"
+        bk = f"{ar}_{min(tw, th)}"
+        arr = _area_resize_wh(
+            imageops.decode_image(bytes(r.bytes), r.fmt), tw, th
+        )
+        digest = hashlib.md5(imageops.encode_ppm(arr)).hexdigest()
+        rows.append(f"('{r.image_id}', {tw}, {th}, 'ppm', '{digest}', '{bk}')")
+    return ", ".join(rows)
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -2757,6 +2809,11 @@ GROUP BY 1, 2
     o["image_resize"] = f"""
       SELECT * FROM (VALUES {_image_resize_values(128, 42, 16)})
         AS t(image_id, w, h, fmt, bytes_md5)
+    """
+
+    o["image_bucket_resize"] = f"""
+      SELECT * FROM (VALUES {_image_bucket_resize_values(128, 42)})
+        AS t(image_id, w, h, fmt, bytes_md5, batch_key)
     """
 
     # incremental pair keep-set: old corpus as VALUES → its (phash, fp, sh)

@@ -300,3 +300,55 @@ class TestImageQuality:
         # keep never forces a shuffle or an extra Python pass
         assert audit.count_op(out, "MapInPandas") == 2
         assert audit.count_op(out, "Exchange") == 0
+
+
+class TestResizeToBuckets:
+    """multimodal.resize_to_buckets — per-bucket batch-shape normalizer."""
+
+    def test_every_output_matches_its_bucket_shape(self, spark):
+        from web_scraper_spark import synth
+        from web_scraper_spark.functions import imageops, multimodal
+
+        imgs = synth.images_df(spark, 96, seed=42)
+        meta = {
+            r["image_id"]: (r["w"], r["h"])
+            for r in imgs.select("image_id", "w", "h").collect()
+        }
+        out = multimodal.resize_to_buckets(imgs).collect()
+        assert len(out) == 96
+        seen_keys = set()
+        for r in out:
+            w0, h0 = meta[r["image_id"]]
+            tw, th = imageops.bucket_target_dims(w0, h0)
+            assert (r["w"], r["h"]) == (tw, th)
+            ar = "wide" if tw > th else ("tall" if th > tw else "square")
+            assert r["batch_key"] == f"{ar}_{min(tw, th)}"
+            seen_keys.add(r["batch_key"])
+            # the bytes really are a th×tw ppm
+            arr = imageops.decode_image(bytes(r["bytes"]), "ppm")
+            assert arr.shape == (th, tw, 3)
+        assert len(seen_keys) > 1  # synth corpus spans several buckets
+
+    def test_target_dims_hand_cases(self):
+        from web_scraper_spark.functions import imageops
+
+        assert imageops.bucket_target_dims(64, 64) == (64, 64)      # square
+        assert imageops.bucket_target_dims(100, 20) == (64, 32)     # wide: area 2000 → s=32
+        assert imageops.bucket_target_dims(20, 100) == (32, 64)     # tall: area 2000 → s=32
+        assert imageops.bucket_target_dims(4, 3) == (16, 16)        # boundary: 4/3 is square
+        assert imageops.bucket_target_dims(3, 4) == (16, 16)        # boundary: 3/4 is square
+
+    def test_single_arrow_stage(self, spark):
+        from web_scraper_spark import synth
+        from web_scraper_spark.functions import multimodal
+
+        imgs = synth.images_df(spark, 8, seed=42)
+        plan = (
+            multimodal.resize_to_buckets(imgs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # exactly ONE python/Arrow stage beyond the synth generator's own
+        assert plan.count("MapInPandas") <= 2
+        assert "Exchange" not in plan

@@ -378,6 +378,33 @@ def area_bucket_sql(w: str, h: str, sides=(16, 32, 64, 128)) -> str:
     return f"CASE {branches} ELSE {int(sides[0])} END"
 
 
+def bucket_target_dims_expr(w, h, sides=(16, 32, 64, 128)):
+    """Canonical training shape of an image's (aspect, resolution) batch
+    bucket — the dims a loader pads/crops/resizes to so every batch is
+    shape-homogeneous: square s → (s, s), wide → (2s, s), tall → (s, 2s)
+    with s the area-bucket side. Pure integer CASE exprs (codegen);
+    returns (target_w, target_h) Columns."""
+    s = area_bucket_expr(w, h, sides)
+    ar = aspect_bucket_expr(w, h)
+    tw = F.when(ar == "wide", s * 2).otherwise(s).cast("int")
+    th = F.when(ar == "tall", s * 2).otherwise(s).cast("int")
+    return tw, th
+
+
+def bucket_target_dims(w: int, h: int, sides=(16, 32, 64, 128)) -> tuple[int, int]:
+    """Sequential twin of bucket_target_dims_expr (oracle derivations)."""
+    px = w * h
+    s = sides[0]
+    for side in sides[1:]:
+        if px >= side * side:
+            s = side
+    if w * ASPECT_WIDE_DEN > h * ASPECT_WIDE_NUM:
+        return 2 * s, s
+    if w * ASPECT_WIDE_NUM < h * ASPECT_WIDE_DEN:
+        return s, 2 * s
+    return s, s
+
+
 # ------------------------------------------------------------- quality stats
 
 

@@ -147,12 +147,17 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+def _area_resize_wh(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Nearest/area resample to th×tw (pure numpy, deterministic)."""
+    h, w, _ = arr.shape
+    ys = (np.arange(th) * h // th).clip(0, h - 1)
+    xs = (np.arange(tw) * w // tw).clip(0, w - 1)
+    return arr[ys][:, xs]
+
+
 def _area_resize(arr: np.ndarray, size: int) -> np.ndarray:
     """Nearest/area resample to size×size (pure numpy, deterministic)."""
-    h, w, _ = arr.shape
-    ys = (np.arange(size) * h // size).clip(0, h - 1)
-    xs = (np.arange(size) * w // size).clip(0, w - 1)
-    return arr[ys][:, xs]
+    return _area_resize_wh(arr, size, size)
 
 
 def resize_images(images: DataFrame, size: int = 32) -> DataFrame:
@@ -172,6 +177,58 @@ def resize_images(images: DataFrame, size: int = 32) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+BUCKET_RESIZED_SCHEMA = T.StructType(
+    RESIZED_SCHEMA.fields + [T.StructField("batch_key", T.StringType(), False)]
+)
+
+
+def resize_to_buckets(images: DataFrame, sides=(16, 32, 64, 128)) -> DataFrame:
+    """Batch-assembly normalizer: resize every image to the canonical
+    shape of ITS (aspect, resolution) batch bucket
+    (imageops.bucket_target_dims_expr — square s → s×s, wide → 2s×s,
+    tall → s×2s), re-encoded ppm, with the bucket's batch_key attached
+    so a loader groups shape-homogeneous batches directly.
+
+    The targets are integer codegen exprs computed from the METADATA
+    columns before any pixel work; the decode → per-row-target resample
+    → encode runs as ONE mapInPandas stage (one Arrow transfer, one
+    decode per image). Row-local ⇒ linear at 10^10 rows, no exchange."""
+
+    tw, th = imageops.bucket_target_dims_expr(F.col("w"), F.col("h"), sides)
+    ar = imageops.aspect_bucket_expr(F.col("w"), F.col("h"))
+    src = images.select(
+        "image_id", "bytes", "fmt",
+        tw.alias("_tw"), th.alias("_th"),
+        F.concat_ws(
+            "_", ar, F.least(tw, th).cast("string")
+        ).alias("batch_key"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, data, fmt, t_w, t_h, bk in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"],
+                pdf["_tw"], pdf["_th"], pdf["batch_key"],
+            ):
+                if fmt not in SUPPORTED_IMAGE_FMTS or data is None:
+                    rows.append(
+                        dict(image_id=iid, bytes=None, w=None, h=None,
+                             fmt="ppm", batch_key=bk)
+                    )
+                    continue
+                arr = _area_resize_wh(
+                    imageops.decode_image(bytes(data), fmt), int(t_w), int(t_h)
+                )
+                rows.append(
+                    dict(image_id=iid, bytes=imageops.encode_ppm(arr),
+                         w=int(t_w), h=int(t_h), fmt="ppm", batch_key=bk)
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(run, schema=BUCKET_RESIZED_SCHEMA)
 
 
 # --------------------------------------------------------------------------
