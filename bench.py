@@ -230,6 +230,8 @@ def bench_queries(spark):
         "pair_keep_set": run("pair_keep_set"),
         "pair_corpus_clean": run("pair_corpus_clean"),
         "pair_corpus_clean_quality": run("pair_corpus_clean_quality"),
+        "pair_corpus_clean_aligned": run("pair_corpus_clean_aligned"),
+        "image_bucket_resize": run("image_bucket_resize"),
         "dedup_keep_set_incremental": run("dedup_keep_set_incremental"),
         "pair_keep_set_incremental": run("pair_keep_set_incremental"),
         "frame_neardup": run("frame_neardup"),
