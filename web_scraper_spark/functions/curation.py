@@ -212,8 +212,9 @@ def boilerplate_scrub(
 
     Scale shape: explode → one distinct-count aggregate on the 64-bit
     line key (partial-agg friendly; count-distinct of doc ids plans as
-    Spark's two-phase expand) → equi-join back (never broadcast — the
-    frequent-line set is data-dependent) → per-document ordered rebuild
+    Spark's two-phase expand) → equi-join back (no forced broadcast — the
+    frequent-line set is data-dependent; AQE may still pick one when it
+    measures small) → per-document ordered rebuild
     (collect_list is bounded by single-document size, the same per-row
     bound every per-doc kernel here has). No UDF, no O(n²), no
     driver-side data.

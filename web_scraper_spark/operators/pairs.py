@@ -212,7 +212,6 @@ def pair_corpus_clean(
         )
     )
     if min_alignment is not None:
-        from ..functions.simsearch import pair_alignment  # noqa: F401 (rule doc)
         from ..functions.simsearch import cosine_expr
 
         # same round-then-compare boundary rule as simsearch.pair_alignment;
