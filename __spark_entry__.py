@@ -636,6 +636,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_repetition"] = q_doc_repetition
 
+    def q_lm_score(spark, sf_dir):
+        """CCNet-style perplexity filter: a Laplace-smoothed word-bigram
+        LM trained on a deterministic 30% reference slice (md5-60 of
+        doc_id mod 10 < 3 — no RNG, same slice on any engine) scores
+        every document's mean token surprisal (curation.lm_bigram_score).
+        Per-token ln-probs are 1e-6 fixed-point BEFORE the per-doc sum,
+        so the result is integer-exact under any partitioning and fully
+        value-oracled. Model tables are vocab-sized equi-join sides; the
+        only driver scalar is V."""
+        from web_scraper_spark.functions import curation
+
+        d = _docs(spark, sf_dir)
+        ref = d.filter(
+            F.pmod(ta.md5_60_expr(F.col("doc_id").cast("string")), F.lit(10)) < 3
+        )
+        return curation.lm_bigram_score(d, ref)
+
+    q["lm_score"] = q_lm_score
+
     def q_token_budget_sample(spark, sf_dir):
         """Budgeted per-language corpus selection: keep the highest-quality
         documents of each language until a 20k-token budget fills
@@ -2591,6 +2610,14 @@ def oracle_sql() -> dict[str, str]:
              rep.top_bigram_frac, rep.n_bigrams
       FROM documents d JOIN rep ON d.doc_id = rep.doc_id
     """
+
+    from web_scraper_spark.functions.curation import lm_bigram_score_sql
+
+    o["lm_score"] = lm_bigram_score_sql(
+        "SELECT doc_id, text FROM documents",
+        f"SELECT doc_id, text FROM documents"
+        f" WHERE ({ta.md5_60_sql('CAST(doc_id AS VARCHAR)')}) % 10 < 3",
+    )
 
     from web_scraper_spark.operators.sampling import token_budget_sample_sql
 

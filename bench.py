@@ -243,6 +243,7 @@ def bench_queries(spark):
         "decontaminate": run("decontaminate"),
         "pii_scrub": run("pii_scrub"),
         "boilerplate_scrub": run("boilerplate_scrub"),
+        "lm_score": run("lm_score"),
         "pair_alignment": run("pair_alignment"),
         "semdedup": run("semdedup"),
         "curation_pipeline": run("curation_pipeline"),

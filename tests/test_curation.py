@@ -316,3 +316,61 @@ class TestBoilerplateScrub:
             .toString()
         )
         assert "Python" not in plan  # explode/agg/join/rebuild all JVM-side
+
+
+class TestLmBigramScore:
+    """curation.lm_bigram_score — CCNet-style bigram-LM fluency filter."""
+
+    def _run(self, spark, docs, refs):
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        r = spark.createDataFrame(refs, "doc_id long, text string")
+        out = cu.lm_bigram_score(d, r)
+        return {
+            row["doc_id"]: (row["n_scored"], row["lm_sum_fp"], row["lm_score"])
+            for row in out.collect()
+        }
+
+    def test_hand_case(self, spark):
+        import math
+
+        # model: "the cat sat" -> C(the,cat)=C(cat,sat)=1; C(the)=C(cat)=1;
+        # V = |{cat, sat}| + 1 = 3
+        refs = [(100, "the cat sat")]
+        docs = [(1, "the cat"), (2, "dog runs"), (3, "x")]
+        got = self._run(spark, docs, refs)
+        seen = round(math.log(2.0 / 4.0) * 1e6)  # (1+1)/(1+3)
+        unseen = round(math.log(1.0 / 3.0) * 1e6)  # (0+1)/(0+3)
+        assert got[1] == (1, seen, round(-seen / 1e6, 6))
+        assert got[2] == (1, unseen, round(-unseen / 1e6, 6))
+        assert got[3] == (0, 0, 0.0)  # < 2 tokens: nothing to score
+
+    def test_lowercase_and_repeat_weighting(self, spark):
+        import math
+
+        # tokenization lowercases ("The cat" scores as the in-model gram),
+        # and a doc repeating a gram k times sums k * the same term
+        refs = [(100, "the cat sat")]
+        docs = [(1, "The cat"), (2, "the cat the cat")]
+        got = self._run(spark, docs, refs)
+        seen = round(math.log(2.0 / 4.0) * 1e6)  # (the,cat): (1+1)/(1+3)
+        backoff = round(math.log(1.0 / 4.0) * 1e6)  # (cat,the): (0+1)/(1+3)
+        assert got[1] == (1, seen, round(-seen / 1e6, 6))
+        # "the cat the cat": (the,cat) x2 + (cat,the) x1 = 3 positions
+        total = 2 * seen + backoff
+        assert got[2] == (3, total, round(-total / 3e6, 6))
+
+    def test_fluent_scores_below_gibberish(self, spark):
+        refs = [(100 + i, "the cat sat on the mat") for i in range(3)]
+        docs = [(1, "the cat sat on the mat"), (2, "zq wv xj qq pk rr")]
+        got = self._run(spark, docs, refs)
+        assert got[1][2] < got[2][2]
+
+    def test_no_python_in_plan(self, spark):
+        d = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        plan = (
+            cu.lm_bigram_score(d, d)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Python" not in plan  # explode/agg/joins all JVM codegen

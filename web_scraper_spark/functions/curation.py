@@ -301,6 +301,171 @@ def boilerplate_scrub_sql(
 
 
 # --------------------------------------------------------------------------
+# n-gram LM fluency score (CCNet-style perplexity filter)
+# --------------------------------------------------------------------------
+
+
+def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per word-bigram position of the lowercased
+    document. The >=2 guard runs BEFORE sequence() (the descending-range
+    pitfall pinned in top_bigram_stats)."""
+    base = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("ws"),
+    ).where(F.size("ws") >= 2)
+    return base.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+
+def lm_bigram_score(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document fluency under a word-bigram language model trained on
+    ``ref_docs`` — the CCNet-style perplexity filter (Wenzek et al.): a
+    corpus slice known to be clean trains a cheap LM, and every document
+    is scored by its mean token surprisal under it; high-score outliers
+    (gibberish, boilerplate soup, wrong-language residue) are the drop
+    candidates. The reference's analyzer stops at keyword/sentiment
+    (content_analyzer.c:215-417); this is the model-side quality gate a
+    training corpus needs beyond rule scores.
+
+    Model: add-one (Laplace) smoothed bigram over lowercased
+    whitespace tokens. P(w2|w1) = (C(w1,w2)+1) / (C(w1)+V) where
+    C(w1) = sum over the row of the bigram table (context occurrences)
+    and V = distinct(second words in the reference) + 1 (the unseen
+    slot). Per-token surprisal -ln P is rounded to 1e-6 fixed point
+    BEFORE summing so the per-doc sum is an integer — order-independent
+    across any partitioning, hence exactly replayable in SQL.
+
+    Returns (id, n_scored, lm_sum_fp, lm_score) for EVERY input doc:
+    n_scored = bigram positions, lm_sum_fp = integer sum of fixed-point
+    ln-probs, lm_score = round(-lm_sum_fp / n_scored / 1e6, 6) — mean
+    surprisal in nats (lower = more fluent); docs with < 2 tokens report
+    (0, 0, 0.0).
+
+    100 TB shape: the model is built with ONE explode + groupBy(w1,w2)
+    partial-agg (the context table is a re-aggregate of it, no second
+    corpus pass); scoring is per-doc-distinct grams (groupBy partial agg
+    first, so a repeated-phrase doc joins each distinct gram once) →
+    equi-joins on the model keys (model tables are vocab-sized and
+    data-dependent — not forced broadcast; AQE promotes them when they
+    measure small) → one per-doc integer aggregate. V is the single
+    bounded driver scalar (the oracle's scalar subquery). No UDF, no
+    corpus data on the driver.
+    """
+    refg = _doc_bigrams(ref_docs, id_col, text_col)
+    c2 = refg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = c2.groupBy("w1").agg(F.sum("c2").alias("cw"))
+    vocab = c2.select("w2").distinct().count() + 1  # bounded scalar
+
+    dg = (
+        _doc_bigrams(docs, id_col, text_col)
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    term = F.round(
+        F.log(
+            (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+            / (F.coalesce(F.col("cw"), F.lit(0)) + F.lit(vocab)).cast("double")
+        )
+        * 1_000_000
+    ).cast("bigint")
+    per_doc = (
+        dg.join(c2, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("k") * term).alias("lm_sum_fp"),
+            F.sum("k").alias("n_scored"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_scored", F.lit(0)).cast("long").alias("n_scored"),
+            F.coalesce("lm_sum_fp", F.lit(0)).cast("long").alias("lm_sum_fp"),
+            F.when(
+                F.coalesce("n_scored", F.lit(0)) > 0,
+                F.round(
+                    -F.col("lm_sum_fp")
+                    / (F.col("n_scored").cast("double") * F.lit(1_000_000.0)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lm_score"),
+        )
+    )
+
+
+def lm_bigram_score_sql(
+    docs_cte: str,
+    ref_cte: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of lm_bigram_score: same lowercased tokenization
+    (zipped unnest), same Laplace rule, same 1e-6 fixed-point-per-token
+    integer sum, V as a scalar subquery."""
+
+    def bigrams(src: str) -> str:
+        return f"""
+        SELECT {id_col},
+               unnest([ws[i] for i in generate_series(1, len(ws) - 1)]) AS w1,
+               unnest([ws[i + 1] for i in generate_series(1, len(ws) - 1)]) AS w2
+        FROM (
+          SELECT {id_col},
+                 regexp_split_to_array(trim(lower({text_col})), '\\s+') AS ws
+          FROM {src}
+        ) WHERE len(ws) >= 2
+        """
+
+    return f"""
+      WITH d AS ({docs_cte}),
+      r AS ({ref_cte}),
+      refg AS ({bigrams('r')}),
+      c2 AS (SELECT w1, w2, count(*) AS c2 FROM refg GROUP BY 1, 2),
+      ctx AS (SELECT w1, sum(c2) AS cw FROM c2 GROUP BY 1),
+      v AS (SELECT count(DISTINCT w2) + 1 AS vocab FROM c2),
+      dg AS (
+        SELECT {id_col}, w1, w2, count(*) AS k
+        FROM ({bigrams('d')}) GROUP BY 1, 2, 3
+      ),
+      scored AS (
+        SELECT dg.{id_col},
+               sum(dg.k * CAST(round(ln(
+                 CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE)
+                 / CAST(coalesce(ctx.cw, 0) + (SELECT vocab FROM v) AS DOUBLE)
+               ) * 1000000) AS BIGINT)) AS lm_sum_fp,
+               sum(dg.k) AS n_scored
+        FROM dg
+        LEFT JOIN c2 ON dg.w1 = c2.w1 AND dg.w2 = c2.w2
+        LEFT JOIN ctx ON dg.w1 = ctx.w1
+        GROUP BY 1
+      )
+      SELECT d.{id_col},
+             CAST(coalesce(s.n_scored, 0) AS BIGINT) AS n_scored,
+             CAST(coalesce(s.lm_sum_fp, 0) AS BIGINT) AS lm_sum_fp,
+             CASE WHEN coalesce(s.n_scored, 0) > 0
+                  THEN round(-s.lm_sum_fp / (CAST(s.n_scored AS DOUBLE) * 1000000.0), 6)
+                  ELSE 0.0 END AS lm_score
+      FROM d LEFT JOIN scored s ON d.{id_col} = s.{id_col}
+    """
+
+
+# --------------------------------------------------------------------------
 # end-to-end curation pipeline
 # --------------------------------------------------------------------------
 
