@@ -655,6 +655,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lm_score"] = q_lm_score
 
+    def q_vocab_topk(spark, sf_dir):
+        """Tokenizer-seed vocabulary: top-800 corpus words by frequency
+        with deterministic word-asc tie-break (textanalysis.vocab_topk).
+        Plans as the O3 TakeOrderedAndProject top-k — per-partition heaps,
+        only k rows cross the exchange; the rank window runs over the
+        bounded k-row frame. Fully value-oracled."""
+        return ta.vocab_topk(_docs(spark, sf_dir), k=800)
+
+    q["vocab_topk"] = q_vocab_topk
+
+    def q_oov_rate(spark, sf_dir):
+        """Vocabulary-coverage check: per-doc out-of-vocabulary rate
+        against the corpus's own top-500 vocab (textanalysis.oov_stats).
+        The vocab is k rows — explicitly broadcast, so corpus tokens meet
+        it in a broadcast-hash join and never shuffle on a token key.
+        Fully value-oracled."""
+        d = _docs(spark, sf_dir)
+        return ta.oov_stats(d, ta.vocab_topk(d, k=500))
+
+    q["oov_rate"] = q_oov_rate
+
     def q_token_budget_sample(spark, sf_dir):
         """Budgeted per-language corpus selection: keep the highest-quality
         documents of each language until a 20k-token budget fills
@@ -2617,6 +2638,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, text FROM documents",
         f"SELECT doc_id, text FROM documents"
         f" WHERE ({ta.md5_60_sql('CAST(doc_id AS VARCHAR)')}) % 10 < 3",
+    )
+
+    o["vocab_topk"] = ta.vocab_topk_sql("documents", k=800)
+    o["oov_rate"] = ta.oov_stats_sql(
+        "documents", ta.vocab_topk_sql("documents", k=500)
     )
 
     from web_scraper_spark.operators.sampling import token_budget_sample_sql

@@ -244,6 +244,8 @@ def bench_queries(spark):
         "pii_scrub": run("pii_scrub"),
         "boilerplate_scrub": run("boilerplate_scrub"),
         "lm_score": run("lm_score"),
+        "vocab_topk": run("vocab_topk"),
+        "oov_rate": run("oov_rate"),
         "pair_alignment": run("pair_alignment"),
         "semdedup": run("semdedup"),
         "curation_pipeline": run("curation_pipeline"),

@@ -690,3 +690,41 @@ class TestOpCacheRegistry:
         assert frames[0] not in dedupops._OP_CACHES
         assert frames[-1] is dedupops._OP_CACHES[-1]
         dedupops.unpersist_op_caches()
+
+
+class TestVocabOov:
+    """textanalysis.vocab_topk / oov_stats — tokenizer-training support."""
+
+    def test_vocab_hand_case(self, spark):
+        rows = [(1, "b a a"), (2, "B c a")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [tuple(r) for r in ta.vocab_topk(df, k=2).collect()]
+        # counts: a=3, b=2 (lowercased), c=1 -> top-2 = a, b
+        assert got == [("a", 3, 1), ("b", 2, 2)]
+
+    def test_vocab_tie_breaks_on_word(self, spark):
+        rows = [(1, "z y x")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [r["word"] for r in ta.vocab_topk(df, k=3).collect()]
+        assert got == ["x", "y", "z"]  # all cnt=1 -> word asc
+
+    def test_oov_hand_case(self, spark):
+        rows = [(1, "a a b"), (2, "q z"), (3, "   ")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        vocab = ta.vocab_topk(df, k=2)  # a (3), b... ties: b=1,q=1,z=1 -> b
+        got = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+               for r in ta.oov_stats(df, vocab).collect()}
+        assert got[1] == (3, 0, 0.0)
+        assert got[2] == (2, 2, 1.0)
+        assert got[3] == (0, 0, 0.0)  # blank doc: no ghost '' token
+
+    def test_plan_shapes(self, spark):
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        vplan = ta.vocab_topk(df, k=10)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in vplan  # O3 top-k, not a global sort
+        oplan = (
+            ta.oov_stats(df, ta.vocab_topk(df, k=10))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in oplan  # vocab is the broadcast side
+        assert "Python" not in vplan and "Python" not in oplan

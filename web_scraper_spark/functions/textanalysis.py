@@ -298,3 +298,136 @@ def top_bigram_stats_sql(table: str, id_col: str = "doc_id", text_col: str = "te
              CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams
       FROM base b LEFT JOIN m USING ({id_col})
     """
+
+
+# --------------------------------------------------------------------------
+# vocabulary construction + out-of-vocabulary rate (tokenizer-training ops)
+# --------------------------------------------------------------------------
+
+
+def _doc_words(docs, id_col: str, text_col: str):
+    """(id, w) — one row per lowercased whitespace token. Blank docs are
+    filtered BEFORE the split (split('') yields a [''] ghost token)."""
+    return (
+        docs.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"),
+        )
+    )
+
+
+def vocab_topk(docs, k: int = 1000, id_col: str = "doc_id", text_col: str = "text"):
+    """Top-k corpus vocabulary by frequency — the seed list a tokenizer
+    trainer (BPE/WordPiece) starts from. Deterministic: ties break on the
+    word itself, so the same corpus yields the same vocab on any engine
+    or partitioning.
+
+    Returns (word, cnt, rank), rank 1-based.
+
+    100 TB shape: explode → groupBy(word) with map-side partial agg →
+    orderBy(cnt desc, word).limit(k) plans as TakeOrderedAndProject (the
+    O3 top-k shape — per-partition heaps, only k rows cross); the final
+    rank window runs over k rows, a bounded frame."""
+    from pyspark.sql import Window
+
+    counts = (
+        _doc_words(docs, id_col, text_col)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(int(k))
+    )
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("cnt"), F.asc("w"))
+    )
+    return counts.select(
+        F.col("w").alias("word"),
+        F.col("cnt").cast("long").alias("cnt"),
+        rank.cast("long").alias("rank"),
+    )
+
+
+def vocab_topk_sql(table: str, k: int = 1000, id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of vocab_topk (same tie-break, same blank-doc rule)."""
+    return f"""
+      WITH words AS (
+        SELECT unnest(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS w
+        FROM {table} WHERE length(trim({text_col})) > 0
+      ),
+      c AS (SELECT w, count(*) AS cnt FROM words GROUP BY 1)
+      SELECT w AS word, CAST(cnt AS BIGINT) AS cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, w) AS BIGINT) AS rank
+      FROM c ORDER BY cnt DESC, w LIMIT {int(k)}
+    """
+
+
+def oov_stats(docs, vocab, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document out-of-vocabulary rate against a vocab frame with a
+    ``word`` column — the coverage check run before committing to a
+    tokenizer vocab (high-OOV docs are wrong-language or gibberish
+    residue; a rising corpus-level OOV rate means the vocab no longer
+    fits the data).
+
+    Returns (id, n_tokens, n_oov, oov_rate) for EVERY input doc; blank
+    docs report (0, 0, 0.0).
+
+    100 TB shape: the vocab is k rows — explicitly broadcast, so the
+    corpus side is explode → broadcast-hash left join → per-doc count
+    aggregate; corpus tokens never shuffle on a token key and nothing
+    corpus-sized reaches the driver."""
+    hits = (
+        _doc_words(docs, id_col, text_col)
+        .join(
+            F.broadcast(vocab.select(F.col("word").alias("w"), F.lit(1).alias("iv"))),
+            "w",
+            "left",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.round(F.col("n_oov") / F.col("n_tokens").cast("double"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("oov_rate"),
+        )
+    )
+
+
+def oov_stats_sql(table: str, vocab_sql: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of oov_stats; ``vocab_sql`` is a query yielding a
+    ``word`` column (typically vocab_topk_sql of the same table)."""
+    return f"""
+      WITH vocab AS ({vocab_sql}),
+      words AS (
+        SELECT {id_col},
+               unnest(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS w
+        FROM {table} WHERE length(trim({text_col})) > 0
+      ),
+      hits AS (
+        SELECT words.{id_col},
+               count(*) AS n_tokens,
+               sum(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END) AS n_oov
+        FROM words LEFT JOIN vocab ON words.w = vocab.word
+        GROUP BY 1
+      )
+      SELECT d.{id_col},
+             CAST(coalesce(h.n_tokens, 0) AS BIGINT) AS n_tokens,
+             CAST(coalesce(h.n_oov, 0) AS BIGINT) AS n_oov,
+             CASE WHEN coalesce(h.n_tokens, 0) > 0
+                  THEN round(h.n_oov / CAST(h.n_tokens AS DOUBLE), 6)
+                  ELSE 0.0 END AS oov_rate
+      FROM {table} d LEFT JOIN hits h ON d.{id_col} = h.{id_col}
+    """
