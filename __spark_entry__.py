@@ -1106,6 +1106,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cosine_dup_pairs"] = q_cosine_dup_pairs
 
+    def q_hard_negatives(spark, sf_dir):
+        """Contrastive-training hard-negative mining: per anchor, the 5
+        most-similar OTHER vectors below the near-dup threshold (0.35,
+        data-relative like cosine_dup_pairs — informative negatives, not
+        duplicates). EXACT via the block-gemm shape with per-task local
+        top-k in both directions, so the final per-anchor window sees
+        O(n_blocks * k) candidates, never the O(n²) score matrix. Fully
+        value-oracled (same round-before-decide + neg-id tie-break)."""
+        e = _emb(spark, sf_dir).withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        return simsearch.hard_negative_topk(
+            e, k=5, dup_threshold=0.35, id_col="vec_id", vec_col="embedding"
+        )
+
+    q["hard_negatives"] = q_hard_negatives
+
     def q_embedding_dup_clusters(spark, sf_dir):
         """Third modality of the transitive-cluster family: connected
         components over the EXACT cosine near-dup graph (block-gemm
@@ -3194,6 +3211,12 @@ GROUP BY 1, 2
       FROM d a JOIN d b ON a.vec_id < b.vec_id
       WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.35
     """
+
+    o["hard_negatives"] = simsearch.hard_negative_topk_sql(
+        "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)",
+        k=5,
+        dup_threshold=0.35,
+    )
 
     o["pair_alignment"] = """
       WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),

@@ -728,3 +728,57 @@ class TestVocabOov:
         )
         assert "BroadcastHashJoin" in oplan  # vocab is the broadcast side
         assert "Python" not in vplan and "Python" not in oplan
+
+
+class TestHardNegatives:
+    """simsearch.hard_negative_topk — contrastive hard-negative mining."""
+
+    def _df(self, spark, vecs):
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_hand_case_excludes_self_and_dups(self, spark):
+        import math
+
+        # 2-D unit vectors at known angles: 0 and 1 are near-identical
+        # (cos ~0.9998 >= thr -> mutual dups, never negatives); 2 is the
+        # informative negative for both; 3 is far from everyone.
+        a = 0.02
+        vecs = [
+            [1.0, 0.0],
+            [math.cos(a), math.sin(a)],
+            [math.cos(0.8), math.sin(0.8)],
+            [-1.0, 0.1],
+        ]
+        out = simsearch.hard_negative_topk(
+            self._df(spark, vecs), k=2, dup_threshold=0.99, n_blocks=2
+        )
+        got = {
+            (r["anchor_id"], r["rank"]): r["neg_id"] for r in out.collect()
+        }
+        assert got[(0, 1)] == 2 and got[(1, 1)] == 2  # dup pair skips itself
+        assert got[(2, 1)] in (0, 1)
+        # no self rows, no dup-pair rows
+        assert all(a_ != n for (a_, _), n in got.items())
+        assert (0, 2) in got and got[(0, 2)] == 3
+
+    def test_block_count_invariance(self, spark, emb):
+        """The block-matrix decomposition is an execution detail: any
+        n_blocks yields the same exact result set."""
+        e = emb.limit(60).withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        a = simsearch.hard_negative_topk(e, k=3, dup_threshold=0.35, n_blocks=2)
+        b = simsearch.hard_negative_topk(e, k=3, dup_threshold=0.35, n_blocks=7)
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        assert ra == rb and len(ra) > 0
+
+    def test_threshold_is_strict_upper_bound(self, spark, emb):
+        e = emb.limit(80).withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        out = simsearch.hard_negative_topk(e, k=3, dup_threshold=0.2).collect()
+        assert len(out) > 0
+        assert all(r["cosine"] < 0.2 for r in out)
+        assert all(r["anchor_id"] != r["neg_id"] for r in out)

@@ -204,6 +204,147 @@ def cosine_dup_pairs(
     return both.groupBy("bi", "bj").applyInPandas(gemm, out_schema)
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    k: int = 5,
+    dup_threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for EVERY vector,
+    the k most-similar OTHER vectors whose cosine is BELOW dup_threshold
+    — near enough to be informative negatives, not so near they are the
+    duplicates the dedup family removes. (anchor_id, neg_id, cosine,
+    rank), rank 1-based, ties broken by neg_id asc; EXACT.
+
+    Execution reuses the cosine_dup_pairs block-matrix shape: ids hash
+    into n_blocks row-blocks, each unordered block pair is one
+    applyInPandas task running ONE float64 gemm, and — unlike the
+    symmetric dup join — each task emits a per-anchor LOCAL top-k in
+    BOTH directions (every anchor meets every other block exactly once).
+    An anchor therefore surfaces <= n_blocks * k candidates, and one
+    window per anchor reduces them to the exact global top-k: the window
+    input is O(n * n_blocks * k), never the O(n^2) score matrix.
+
+    Cost model is the exact-baseline one (O(n^2 * dim) FLOPs in gemm
+    tasks); at 10^9+ vectors mine candidates from the LSH/IVF bucket
+    paths instead and re-rank exactly. Cosines are rounded to 6 decimals
+    BEFORE the threshold/top-k decisions, so the SQL oracle replays the
+    selection exactly (gemm reassociation sits ~1e-15 below the
+    rounding).
+    """
+    import pandas as pd
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"anchor_id {id_type}, neg_id {id_type}, cosine double"
+    B = int(n_blocks)
+    kk = int(k)
+    thr = float(dup_threshold)
+    e = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(B)).cast("int").alias("b"),
+    )
+    left = e.select(
+        F.col("b").alias("bi"),
+        F.explode(F.sequence(F.col("b"), F.lit(B - 1))).alias("bj"),
+        "id", "v", F.lit(0).alias("side"),
+    )
+    right = e.select(
+        F.explode(F.sequence(F.lit(0), F.col("b"))).alias("bi"),
+        F.col("b").alias("bj"),
+        "id", "v", F.lit(1).alias("side"),
+    )
+    both = left.unionByName(right)
+
+    def local_topk(key, pdf):
+        bi, bj = int(key[0]), int(key[1])
+        la = pdf[pdf["side"] == 0]
+        lb = la if bi == bj else pdf[pdf["side"] == 1]
+        if la.empty or lb.empty:
+            return pd.DataFrame({"anchor_id": [], "neg_id": [], "cosine": []})
+        A = np.stack(la["v"].to_numpy()).astype(np.float64)
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        if bi == bj:
+            Bn = An
+        else:
+            Bm = np.stack(lb["v"].to_numpy()).astype(np.float64)
+            Bn = Bm / np.linalg.norm(Bm, axis=1, keepdims=True)
+        ia = la["id"].to_numpy()
+        ib = lb["id"].to_numpy()
+        S = np.round(An @ Bn.T, 6)
+
+        def emit(S, ids_a, ids_b, exclude_self):
+            mask = S < thr
+            if exclude_self:
+                mask &= ids_a[:, None] != ids_b[None, :]
+            Sm = np.where(mask, S, -np.inf)
+            # deterministic per-row top-k: columns pre-sorted by id asc,
+            # then a STABLE sort on -S keeps id-asc order among ties
+            base = np.argsort(ids_b, kind="stable")
+            Ss = Sm[:, base]
+            take = min(kk, Ss.shape[1])
+            order = np.argsort(-Ss, axis=1, kind="stable")[:, :take]
+            rows = np.repeat(np.arange(Ss.shape[0]), take)
+            cols = order.ravel()
+            sel = Ss[rows, cols]
+            keep = np.isfinite(sel)
+            return (
+                ids_a[rows[keep]],
+                ids_b[base[cols[keep]]],
+                sel[keep],
+            )
+
+        a1, n1, c1 = emit(S, ia, ib, exclude_self=(bi == bj))
+        if bi == bj:
+            aa, nn, cc = a1, n1, c1
+        else:
+            a2, n2, c2 = emit(S.T, ib, ia, exclude_self=False)
+            aa = np.concatenate([a1, a2])
+            nn = np.concatenate([n1, n2])
+            cc = np.concatenate([c1, c2])
+        return pd.DataFrame({"anchor_id": aa, "neg_id": nn, "cosine": cc})
+
+    cands = both.groupBy("bi", "bj").applyInPandas(local_topk, out_schema)
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.col("neg_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select("anchor_id", "neg_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def hard_negative_topk_sql(
+    table: str,
+    k: int = 5,
+    dup_threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of hard_negative_topk: brute self-join (oracle scale
+    only), same round-before-decide rule and neg-id tie-break."""
+    return f"""
+      WITH e AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table}),
+      p AS (
+        SELECT a.id AS anchor_id, b.id AS neg_id,
+               round({cosine_sql('a.v', 'b.v')}, 6) AS cosine
+        FROM e a JOIN e b ON a.id <> b.id
+      ),
+      r AS (
+        SELECT anchor_id, neg_id, cosine,
+               row_number() OVER (
+                 PARTITION BY anchor_id ORDER BY cosine DESC, neg_id
+               ) AS rank
+        FROM p WHERE cosine < {float(dup_threshold)}
+      )
+      SELECT anchor_id, neg_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= {int(k)}
+    """
+
+
 def sign_sig_expr(vec: Column, sig_bits: int = 16) -> Column:
     """Sign signature of an embedding (the phash analog for vectors):
     bit i set iff vec[i] > 0. Pure JVM expression, codegen'd."""
