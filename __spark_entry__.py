@@ -1602,6 +1602,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_bucket_resize"] = q_image_bucket_resize
 
+    def q_image_augment(spark, sf_dir):
+        """Seeded per-epoch augmentation (multimodal.augment_images):
+        flip/crop switched by bits of md5_60(image_id ':' epoch) — pure
+        metadata codegen, replayable without pixels — then decode → flip
+        → 1/8 crop → area-resample → ppm, one mapInPandas stage. Byte
+        output pinned via bytes_md5 against a sequentially re-derived
+        chain; re-running the epoch is byte-identical (no RNG state)."""
+        from web_scraper_spark import synth
+        from web_scraper_spark.functions import multimodal
+
+        imgs = synth.images_df(spark, 128, seed=42)
+        out = multimodal.augment_images(imgs, epoch=1, size=16)
+        return out.select(
+            "image_id", "epoch", "flip", "crop", "w", "h", "fmt",
+            F.md5(F.col("bytes")).alias("bytes_md5"),
+        )
+
+    q["image_augment"] = q_image_augment
+
     def q_image_neardup_lsh(spark, sf_dir):
         """phash near-duplicate pruning (J6) on the image table: LSH band
         self-join over the persisted (id, phash) projection
@@ -2377,6 +2396,42 @@ def _image_bucket_resize_values(n: int, seed: int) -> str:
     return ", ".join(rows)
 
 
+def _image_augment_values(n: int, seed: int, epoch: int, size: int) -> str:
+    """(image_id, epoch, flip, crop, w, h, fmt, bytes_md5) VALUES literal
+    for the image_augment oracle — the md5-60 flip/crop decisions AND the
+    decode → flip → crop → resample → ppm chain re-derived sequentially in
+    pure pandas/numpy, every output byte pinned via md5."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from web_scraper_spark import synth
+    from web_scraper_spark.functions import imageops
+    from web_scraper_spark.functions.multimodal import _area_resize
+
+    pdf = synth.images_pdf(pd.Series(range(n)), seed)
+    rows = []
+    for r in pdf.itertuples(index=False):
+        hsh = int(hashlib.md5(f"{r.image_id}:{epoch}".encode()).hexdigest()[:15], 16)
+        flip, crop = hsh % 2 == 1, (hsh >> 1) % 2 == 1
+        arr = imageops.decode_image(bytes(r.bytes), r.fmt)
+        if flip:
+            arr = arr[:, ::-1, :]
+        if crop:
+            hh, ww, _ = arr.shape
+            mh, mw = hh // 8, ww // 8
+            arr = arr[mh:hh - mh, mw:ww - mw]
+        digest = hashlib.md5(
+            imageops.encode_ppm(_area_resize(np.ascontiguousarray(arr), size))
+        ).hexdigest()
+        rows.append(
+            f"('{r.image_id}', {epoch}, {str(flip).upper()}, {str(crop).upper()}, "
+            f"{size}, {size}, 'ppm', '{digest}')"
+        )
+    return ", ".join(rows)
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -2884,6 +2939,13 @@ GROUP BY 1, 2
     o["image_bucket_resize"] = f"""
       SELECT * FROM (VALUES {_image_bucket_resize_values(128, 42)})
         AS t(image_id, w, h, fmt, bytes_md5, batch_key)
+    """
+
+    o["image_augment"] = f"""
+      SELECT image_id, CAST(epoch AS INTEGER) AS epoch, flip, crop,
+             CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h, fmt, bytes_md5
+      FROM (VALUES {_image_augment_values(128, 42, 1, 16)})
+        AS t(image_id, epoch, flip, crop, w, h, fmt, bytes_md5)
     """
 
     # incremental pair keep-set: old corpus as VALUES → its (phash, fp, sh)

@@ -233,6 +233,7 @@ def bench_queries(spark):
         "pair_corpus_clean_quality": run("pair_corpus_clean_quality"),
         "pair_corpus_clean_aligned": run("pair_corpus_clean_aligned"),
         "image_bucket_resize": run("image_bucket_resize"),
+        "image_augment": run("image_augment"),
         "dedup_keep_set_incremental": run("dedup_keep_set_incremental"),
         "pair_keep_set_incremental": run("pair_keep_set_incremental"),
         "frame_neardup": run("frame_neardup"),

@@ -352,3 +352,70 @@ class TestResizeToBuckets:
         # exactly ONE python/Arrow stage beyond the synth generator's own
         assert plan.count("MapInPandas") <= 2
         assert "Exchange" not in plan
+
+
+class TestAugmentImages:
+    """multimodal.augment_images — seeded per-epoch flip/crop augmentation."""
+
+    def test_epoch_replay_is_byte_identical(self, spark):
+        from web_scraper_spark import synth
+        from web_scraper_spark.functions import multimodal
+
+        imgs = synth.images_df(spark, 48, seed=42)
+        a = {r["image_id"]: bytes(r["bytes"])
+             for r in multimodal.augment_images(imgs, epoch=2, size=16).collect()}
+        b = {r["image_id"]: bytes(r["bytes"])
+             for r in multimodal.augment_images(imgs, epoch=2, size=16).collect()}
+        assert a == b and len(a) == 48  # no RNG state anywhere
+
+    def test_epochs_vary_the_variant_mix(self, spark):
+        from web_scraper_spark import synth
+        from web_scraper_spark.functions import multimodal
+
+        imgs = synth.images_df(spark, 48, seed=42)
+        e1 = {r["image_id"]: (r["flip"], r["crop"])
+              for r in multimodal.augment_images(imgs, epoch=1, size=16).collect()}
+        e2 = {r["image_id"]: (r["flip"], r["crop"])
+              for r in multimodal.augment_images(imgs, epoch=2, size=16).collect()}
+        assert any(e1[k] != e2[k] for k in e1)  # a new epoch reseeds choices
+        # and the choice is the documented md5-60 rule, not an opaque seed
+        import hashlib
+        for iid, (fl, cr) in e1.items():
+            h = int(hashlib.md5(f"{iid}:1".encode()).hexdigest()[:15], 16)
+            assert (fl, cr) == (h % 2 == 1, (h >> 1) % 2 == 1)
+
+    def test_flip_crop_pixels_match_sequential_twin(self, spark):
+        import numpy as np
+
+        from web_scraper_spark import synth
+        from web_scraper_spark.functions import imageops, multimodal
+
+        imgs = synth.images_df(spark, 24, seed=7)
+        src = {r["image_id"]: (bytes(r["bytes"]), r["fmt"])
+               for r in imgs.collect()}
+        for r in multimodal.augment_images(imgs, epoch=3, size=16).collect():
+            data, fmt = src[r["image_id"]]
+            arr = imageops.decode_image(data, fmt)
+            if r["flip"]:
+                arr = arr[:, ::-1, :]
+            if r["crop"]:
+                hh, ww, _ = arr.shape
+                arr = arr[hh // 8: hh - hh // 8, ww // 8: ww - ww // 8]
+            want = imageops.encode_ppm(
+                multimodal._area_resize(np.ascontiguousarray(arr), 16)
+            )
+            assert bytes(r["bytes"]) == want
+
+    def test_crop_is_noop_below_8px(self, spark):
+        import numpy as np
+
+        from web_scraper_spark.functions import imageops, multimodal
+
+        arr = (np.arange(7 * 7 * 3) % 251).astype(np.uint8).reshape(7, 7, 3)
+        rows = [("tiny", imageops.encode_ppm(arr), "ppm")]
+        df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+        out = multimodal.augment_images(df, epoch=1, size=4).collect()[0]
+        # margin floor(7/8)=0 -> crop bit may be set but must not change pixels
+        base = arr[:, ::-1, :] if out["flip"] else arr
+        want = imageops.encode_ppm(multimodal._area_resize(np.ascontiguousarray(base), 4))
+        assert bytes(out["bytes"]) == want

@@ -231,6 +231,80 @@ def resize_to_buckets(images: DataFrame, sides=(16, 32, 64, 128)) -> DataFrame:
     return src.mapInPandas(run, schema=BUCKET_RESIZED_SCHEMA)
 
 
+AUGMENTED_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("epoch", T.IntegerType(), False),
+        T.StructField("flip", T.BooleanType(), False),
+        T.StructField("crop", T.BooleanType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), False),
+    ]
+)
+
+
+def augment_images(images: DataFrame, epoch: int = 1, size: int = 32) -> DataFrame:
+    """Deterministic per-epoch training augmentation: horizontal flip and
+    1/8-margin center crop, each switched on by a bit of
+    md5_60(image_id ':' epoch), then area-resample to size×size ppm.
+    Seeded augmentation is the reproducibility contract a training run
+    needs — re-running any epoch (or any single shard of it) regenerates
+    byte-identical pixels, on any partitioning, with no RNG state to
+    checkpoint.
+
+    The flip/crop DECISIONS are pure metadata codegen (the same portable
+    md5-60 rule the sampling family uses — textanalysis.md5_60_expr), so
+    an auditor can replay them in SQL without touching pixels; the pixel
+    chain (decode → flip → crop → resample → encode) is ONE mapInPandas
+    stage: one Arrow transfer and one decode per image, row-local ⇒
+    linear at 10^10 rows, no exchange. Crop removes floor(dim/8) per
+    side from the ORIGINAL frame (a no-op below 8px); flip reverses
+    columns before the crop so the two compose in a fixed documented
+    order.
+    """
+    from web_scraper_spark.functions.textanalysis import md5_60_expr
+
+    hsh = md5_60_expr(
+        F.concat_ws(":", F.col("image_id"), F.lit(int(epoch)).cast("string"))
+    )
+    src = images.select(
+        "image_id", "bytes", "fmt",
+        (F.pmod(hsh, F.lit(2)) == 1).alias("flip"),
+        (F.pmod(F.shiftright(hsh, 1), F.lit(2)) == 1).alias("crop"),
+    )
+    ep = int(epoch)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, data, fmt, fl, cr in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["flip"], pdf["crop"]
+            ):
+                if fmt not in SUPPORTED_IMAGE_FMTS or data is None:
+                    rows.append(
+                        dict(image_id=iid, epoch=ep, flip=bool(fl), crop=bool(cr),
+                             bytes=None, w=None, h=None, fmt="ppm")
+                    )
+                    continue
+                arr = imageops.decode_image(bytes(data), fmt)
+                if fl:
+                    arr = arr[:, ::-1, :]
+                if cr:
+                    hh, ww, _ = arr.shape
+                    mh, mw = hh // 8, ww // 8
+                    arr = arr[mh:hh - mh, mw:ww - mw]
+                arr = _area_resize(np.ascontiguousarray(arr), size)
+                rows.append(
+                    dict(image_id=iid, epoch=ep, flip=bool(fl), crop=bool(cr),
+                         bytes=imageops.encode_ppm(arr), w=size, h=size, fmt="ppm")
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(run, schema=AUGMENTED_SCHEMA)
+
+
 # --------------------------------------------------------------------------
 # audio — REAL for PCM WAV (stdlib `wave`, zero external deps); other
 # formats remain a disclosed deterministic stub (no mp3/ogg codecs here)
