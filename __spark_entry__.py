@@ -1750,6 +1750,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pair_corpus_clean_quality"] = q_pair_corpus_clean_quality
 
+    def q_pair_corpus_clean_lang(spark, sf_dir):
+        """pair_corpus_clean with the caption-language gate: geometry +
+        caption-token filters → keep only captions identified as English
+        or unknown (marker-argmax lang id, pure codegen — the LAION-style
+        per-language corpus cut) → the joint keep-set. German captions
+        injected on ids ending in 7 so the gate provably fires; fully
+        value-oracled with lang_id replayed identically in SQL."""
+        from web_scraper_spark import synth
+        from web_scraper_spark.functions.dedupops import register_op_cache
+        from web_scraper_spark.operators import pairs as pairs_ops
+
+        imgs = synth.images_df(spark, 512, seed=42).select(
+            "image_id", "w", "h", "fmt", "caption", "phash"
+        )
+        imgs = imgs.withColumn(
+            "caption",
+            F.when(
+                F.substring("image_id", 14, 1) == "7", F.lit(_GERMAN_CAPTION)
+            ).otherwise(F.col("caption")),
+        )
+        imgs = register_op_cache(imgs)
+        return pairs_ops.pair_corpus_clean(
+            imgs, allowed_langs=("en", "und")
+        )
+
+    q["pair_corpus_clean_lang"] = q_pair_corpus_clean_lang
+
     def q_pair_corpus_clean_aligned(spark, sf_dir):
         """pair_corpus_clean with the CLIP-score alignment gate in its
         production position: geometry + caption-token filters → alignment
@@ -1949,6 +1976,7 @@ def _image_phash_values(n: int, seed: int) -> str:
 
 
 _BOILER_CAPTION = "stock photo of a sunset over the ocean"
+_GERMAN_CAPTION = "der hund ist nicht gross und die katze ist klein"
 
 # crawl_dedup_incremental corpus: phase A crawls a 2-host web (links can
 # only target hosts 0-1 — _out_links buckets by cfg.n_hosts), phase B
@@ -3143,6 +3171,54 @@ GROUP BY 1, 2
       )
       SELECT image_id, w, h, fmt, caption, phash,
              n_pixels, aspect, caption_tokens
+      FROM p
+      WHERE image_id NOT IN (SELECT image_id FROM img_drops)
+        AND image_id NOT IN (
+          SELECT id FROM exact_drops UNION SELECT id FROM near_drops)
+    """
+
+    # pair_corpus_clean_lang: the same closure with the caption-language
+    # gate between the token filter and the dedup stages — lang_id_sql
+    # replays the marker-argmax rule identically.
+    _cap_lang = ta.lang_id_sql("caption")
+    o["pair_corpus_clean_lang"] = f"""
+      WITH p0(image_id, w, h, fmt, caption0, phash) AS (VALUES {_pair_full}),
+      p1 AS (
+        SELECT image_id, w, h, fmt, phash,
+               CASE WHEN substr(image_id, 14, 1) = '7'
+                    THEN '{_GERMAN_CAPTION}' ELSE caption0 END AS caption
+        FROM p0
+      ),
+      p AS (
+        SELECT image_id, w, h, fmt, caption, phash,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               round(greatest(w, h) / least(w, h), 6) AS aspect,
+               CAST({_cap_tok} AS INTEGER) AS caption_tokens,
+               {_cap_lang} AS caption_lang
+        FROM p1
+        WHERE w * h >= 1024
+          AND greatest(w, h) / least(w, h) <= 4.0
+          AND {_cap_tok} >= 4
+          AND ({_cap_lang}) IN ('en', 'und')
+      ),
+      img_drops AS (
+        SELECT DISTINCT b.image_id FROM p a JOIN p b
+          ON a.image_id < b.image_id
+         AND bit_count(xor(a.phash, b.phash)) <= 3
+      ),
+      fp AS (SELECT image_id AS id, {_cap_fp} AS fp FROM p),
+      exact_drops AS (
+        SELECT f.id FROM fp f
+        JOIN (SELECT fp, min(id) AS m FROM fp GROUP BY fp) g
+          ON f.fp = g.fp AND f.id <> g.m
+      ),
+      sh AS (SELECT image_id AS id, {_cap_sh} AS sh FROM p),
+      near_drops AS (
+        SELECT DISTINCT b.id FROM sh a JOIN sh b ON a.id < b.id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      )
+      SELECT image_id, w, h, fmt, caption, phash,
+             n_pixels, aspect, caption_tokens, caption_lang
       FROM p
       WHERE image_id NOT IN (SELECT image_id FROM img_drops)
         AND image_id NOT IN (

@@ -312,3 +312,31 @@ def test_pair_corpus_clean_alignment_gate(spark):
     assert all(v == 1.0 for v in got.values())
     assert "image_emb" not in gated.columns
     assert "caption_emb" not in gated.columns
+
+
+def test_pair_corpus_clean_language_gate(spark):
+    """allowed_langs drops exactly the pairs whose caption identifies as
+    a disallowed language, before the keep-set; caption_lang rides on the
+    survivors. Injected German captions fire the drop path; the synthetic
+    wordlist captions identify as 'und' (or 'en') and survive."""
+    german = "der hund ist nicht gross und die katze ist klein"
+    base = synth.images_df(spark, 64, seed=42).select(
+        "image_id", "w", "h", "fmt", "caption", "phash"
+    )
+    last = F.substring("image_id", 14, 1)
+    injected = base.withColumn(
+        "caption", F.when(last == "7", F.lit(german)).otherwise(F.col("caption"))
+    )
+    gated = pairs_ops.pair_corpus_clean(injected, allowed_langs=("en", "und"))
+    plain = pairs_ops.pair_corpus_clean(base)
+    got = {r["image_id"]: r["caption_lang"] for r in gated.collect()}
+    plain_ids = {r["image_id"] for r in plain.collect()}
+    german_ids = {
+        r["image_id"] for r in base.filter(last == "7").select("image_id").collect()
+    }
+    # NB: injection also changes caption-dedup inputs, but the german rows
+    # are gone before the caption stage, so the survivor set is exactly
+    # the ungated survivors minus the injected ids
+    assert set(got) == plain_ids - german_ids
+    assert german_ids & plain_ids  # the drop path provably fired
+    assert set(got.values()) <= {"en", "und"}

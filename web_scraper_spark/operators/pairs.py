@@ -168,12 +168,16 @@ def pair_corpus_clean(
     min_sharp_milli: int | None = None,
     min_ent_milli: int | None = None,
     min_alignment: float | None = None,
+    allowed_langs: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """The full multimodal training-pair pipeline as ONE composite — the
     image twin of the text side's corpus_clean: (1) image geometry filter
     (min decoded pixel count, max aspect ratio — the cheap metadata cut a
     pipeline runs before any pixel work), (2) caption token-count filter,
-    (2b) optionally the CLIP-score alignment gate (pass min_alignment and
+    (2a) optionally the caption-language gate (pass ``allowed_langs`` —
+    marker-argmax lang id as pure codegen, LAION-style per-language cut;
+    ``caption_lang`` rides on survivors), (2b) optionally the CLIP-score
+    alignment gate (pass min_alignment and
     an input carrying ``image_emb``/``caption_emb`` array columns from an
     upstream inference stage — simsearch.pair_alignment's rule, applied
     BEFORE the Arrow decode gate because the JVM cosine is cheaper than a
@@ -211,6 +215,17 @@ def pair_corpus_clean(
             & (F.col("caption_tokens") >= min_caption_tokens)
         )
     )
+    if allowed_langs is not None:
+        from ..functions.textanalysis import lang_id_expr
+
+        # caption-language gate (the LAION-style per-language corpus cut):
+        # marker-argmax lang id is pure codegen on the already-filtered
+        # rows, so like the other metadata gates it adds zero exchange and
+        # runs before any embedding/pixel work; caption_lang rides on the
+        # survivors for downstream per-language stats
+        scored = scored.withColumn(
+            "caption_lang", lang_id_expr(F.col("caption"))
+        ).filter(F.col("caption_lang").isin(*[F.lit(l) for l in allowed_langs]))
     if min_alignment is not None:
         from ..functions.simsearch import cosine_expr
 
