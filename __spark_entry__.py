@@ -297,6 +297,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["priority_reorder"] = q_priority_reorder
 
+    def q_url_quality(spark, sf_dir):
+        """URL shape/spam scoring at frontier-admission time
+        (urlops.url_features_exprs): digit ratio, path depth, query-param
+        count and length fold into a deterministic quality score — the
+        codegen cut that keeps calendar/session/faceted-search traps out
+        of a 10^10-URL frontier before any fetch. URLs are synthesized
+        from order keys with identical concat rules in both engines;
+        every feature and the score are value-oracled."""
+        from web_scraper_spark.functions import urlops
+
+        o = _t(spark, sf_dir, "orders")
+        k = F.col("o_orderkey")
+        url = F.concat(
+            F.lit("https://h"), (k % 50).cast("string"),
+            F.lit(".example.test/cat/"), (k % 9).cast("string"),
+            F.lit("/item"), k.cast("string"),
+            F.when(k % 11 == 0, F.lit("/p/q/r/s/t")).otherwise(F.lit("")),
+            F.when(
+                k % 7 == 0,
+                F.concat(
+                    F.lit("?session="), (k * 13).cast("string"),
+                    F.lit("&ref=track&sort=price"),
+                ),
+            ).otherwise(F.lit("")),
+        )
+        feats = urlops.url_features_exprs(F.col("url"))
+        return o.select(F.col("o_orderkey"), url.alias("url")).select(
+            "o_orderkey",
+            "url",
+            *[c.alias(n) for n, c in feats.items()],
+        )
+
+    q["url_quality"] = q_url_quality
+
     def q_zadd_min_upsert(spark, sf_dir):
         ev = _t(spark, sf_dir, "events")
         return ev.groupBy(F.col("user_id").alias("member")).agg(
@@ -2547,6 +2581,31 @@ def oracle_sql() -> dict[str, str]:
                o_orderkey, o_orderpriority
         FROM orders
       ) WHERE pop_rank <= 100
+    """
+
+    from web_scraper_spark.functions.urlops import url_features_sql
+
+    _uf = url_features_sql("url")
+    o["url_quality"] = f"""
+      WITH u AS (
+        SELECT o_orderkey,
+               'https://h' || CAST(o_orderkey % 50 AS VARCHAR)
+               || '.example.test/cat/' || CAST(o_orderkey % 9 AS VARCHAR)
+               || '/item' || CAST(o_orderkey AS VARCHAR)
+               || CASE WHEN o_orderkey % 11 = 0 THEN '/p/q/r/s/t' ELSE '' END
+               || CASE WHEN o_orderkey % 7 = 0
+                       THEN '?session=' || CAST(o_orderkey * 13 AS VARCHAR)
+                            || '&ref=track&sort=price'
+                       ELSE '' END AS url
+        FROM orders
+      )
+      SELECT o_orderkey, url,
+             {_uf['url_len']} AS url_len,
+             {_uf['digit_ratio']} AS digit_ratio,
+             {_uf['depth']} AS depth,
+             {_uf['n_params']} AS n_params,
+             {_uf['url_quality']} AS url_quality
+      FROM u
     """
 
     o["zadd_min_upsert"] = """

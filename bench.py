@@ -208,6 +208,7 @@ def bench_queries(spark):
         "frontier_admission": run("frontier_admission"),
         "priority_reorder": run("priority_reorder"),
         "host_authority": run("host_authority"),
+        "url_quality": run("url_quality"),
         "sentiment": run("sentiment"),
         "meta_pairs": run("meta_pairs"),
         "lang_id": run("lang_id"),

@@ -187,3 +187,46 @@ class TestNativeCanonicalizeParity:
         w = canonicalize_series(pd.Series([base]), pd.Series([href])).iloc[0]
         w = None if pd.isna(w) else str(w)
         assert g == w, (href, g, w)
+
+
+class TestUrlFeatures:
+    """urlops.url_features_exprs — URL shape/spam scoring."""
+
+    def _feats(self, spark, url):
+        from web_scraper_spark.functions import urlops
+
+        df = spark.createDataFrame([(url,)], "url string")
+        feats = urlops.url_features_exprs(F.col("url"))
+        row = df.select(*[c.alias(n) for n, c in feats.items()]).head()
+        return dict(row.asDict())
+
+    def test_clean_url(self, spark):
+        got = self._feats(spark, "https://example.test/a/b")
+        assert got["depth"] == 2 and got["n_params"] == 0
+        assert got["url_quality"] == 1.0  # no digits, shallow, no params
+
+    def test_trap_url_scores_low(self, spark):
+        url = "https://h.test/cal/2026/08/21/2026/08/22?session=12345&ref=9&x=1&y=2&z=3"
+        got = self._feats(spark, url)
+        assert got["n_params"] == 5 and got["depth"] == 7
+        # digit-heavy + deep + param-laden: floor at a low score
+        assert got["url_quality"] < 0.3
+
+    def test_hand_computed_score(self, spark):
+        url = "https://h.test/a?id=7"  # 1 digit / 21 chars, depth 1, 1 param
+        got = self._feats(spark, url)
+        assert got["url_len"] == 21
+        assert got["digit_ratio"] == round(1 / 21, 6)
+        assert got["n_params"] == 1
+        assert got["url_quality"] == round(1.0 - (round(1 / 21, 6) + 0.1), 6)
+
+    def test_no_python_in_plan(self, spark):
+        from web_scraper_spark.functions import urlops
+
+        df = spark.createDataFrame([("https://x/y",)], "url string")
+        feats = urlops.url_features_exprs(F.col("url"))
+        plan = (
+            df.select(*[c.alias(n) for n, c in feats.items()])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan

@@ -297,3 +297,86 @@ def with_url_identity(df, url_col: str = "url", num_shards: int = 32):
         .withColumn("host", host_expr(F.col(url_col)))
         .withColumn("shard", shard_expr(F.col("url_sha1"), num_shards))
     )
+
+
+# --------------------------------------------------------------------------
+# URL shape / spam features (frontier prioritization + admission filter)
+# --------------------------------------------------------------------------
+#
+# Crawl frontiers at 10^10 URLs cannot afford to fetch-then-judge: the URL
+# string itself is the only signal available at admission time, and
+# digit-heavy, deep, parameter-laden URLs (session ids, calendars, faceted
+# search, tracking redirects) are the classic crawler traps. These features
+# are pure codegen string exprs (the metadata-cut idiom every gate here
+# uses) with exact DuckDB twins; the composite score is a deterministic
+# rational so the admission decision replays value-for-value in SQL.
+# Reference analog: the scheduler only orders by host/priority (main.c
+# frontier push) — this is the URL-shape signal it lacks.
+
+
+def _count_char_expr(url: Column, ch: str) -> Column:
+    return F.length(url) - F.length(F.replace(url, F.lit(ch), F.lit("")))
+
+
+def _count_char_sql(url: str, ch: str) -> str:
+    return f"(length({url}) - length(replace({url}, '{ch}', '')))"
+
+
+def url_features_exprs(url: Column) -> dict[str, Column]:
+    """Codegen feature columns: url_len, digit_ratio, depth, n_params,
+    url_quality (1.0 = clean, 0.0 = certain trap). depth counts path
+    segments ('/' beyond the protocol's two); n_params counts query
+    parameters; the score subtracts bounded penalties for digit mass,
+    excess depth, parameter count and extreme length."""
+    ln = F.length(url)
+    digits = ln - F.length(F.regexp_replace(url, "[0-9]", ""))
+    digit_ratio = F.when(ln == 0, F.lit(0.0)).otherwise(
+        F.round(digits / ln.cast("double"), 6)
+    )
+    depth = F.greatest(_count_char_expr(url, "/") - F.lit(2), F.lit(0))
+    n_params = F.when(
+        url.contains("?"), _count_char_expr(url, "&") + F.lit(1)
+    ).otherwise(F.lit(0))
+    penalty = (
+        digit_ratio
+        + F.least(F.greatest(depth - F.lit(3), F.lit(0)), F.lit(5)) * 0.05
+        + F.least(n_params, F.lit(5)) * 0.1
+        + F.when(ln > 80, F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    quality = F.round(F.greatest(F.lit(1.0) - penalty, F.lit(0.0)), 6)
+    return {
+        "url_len": ln.cast("long"),
+        "digit_ratio": digit_ratio,
+        "depth": depth.cast("long"),
+        "n_params": n_params.cast("long"),
+        "url_quality": quality,
+    }
+
+
+def url_features_sql(url: str) -> dict[str, str]:
+    """DuckDB twins of url_features_exprs (same rules, same rounding;
+    regexp_replace needs the explicit 'g' flag in DuckDB)."""
+    ln = f"length({url})"
+    digits = f"({ln} - length(regexp_replace({url}, '[0-9]', '', 'g')))"
+    digit_ratio = (
+        f"CASE WHEN {ln} = 0 THEN 0.0 "
+        f"ELSE round({digits} / CAST({ln} AS DOUBLE), 6) END"
+    )
+    depth = f"greatest({_count_char_sql(url, '/')} - 2, 0)"
+    n_params = (
+        f"CASE WHEN contains({url}, '?') "
+        f"THEN {_count_char_sql(url, '&')} + 1 ELSE 0 END"
+    )
+    penalty = (
+        f"({digit_ratio}) + least(greatest(({depth}) - 3, 0), 5) * 0.05 "
+        f"+ least({n_params}, 5) * 0.1 "
+        f"+ CASE WHEN {ln} > 80 THEN 0.2 ELSE 0.0 END"
+    )
+    quality = f"round(greatest(1.0 - ({penalty}), 0.0), 6)"
+    return {
+        "url_len": f"CAST({ln} AS BIGINT)",
+        "digit_ratio": digit_ratio,
+        "depth": f"CAST({depth} AS BIGINT)",
+        "n_params": f"CAST({n_params} AS BIGINT)",
+        "url_quality": quality,
+    }
