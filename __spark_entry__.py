@@ -867,11 +867,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["boilerplate_scrub"] = q_boilerplate_scrub
 
-    def _curated(spark, sf_dir):
-        """Shared by curation_pipeline and curated_shard_manifest: the
-        injected train/eval corpus (PII on doc_id % 7 / % 11, an eval
+    def _curated(spark, sf_dir, lm_gate=False):
+        """Shared by curation_pipeline(_lm) and curated_shard_manifest:
+        the injected train/eval corpus (PII on doc_id % 7 / % 11, an eval
         8-gram on % 50 == 13, ten byte-identical duplicates at +100000,
-        eval split % 97 held out) run through curate_corpus."""
+        eval split % 97 held out) run through curate_corpus; lm_gate adds
+        the perplexity stage against the deterministic 30% slice."""
         from web_scraper_spark.functions import curation as cu
 
         d = _docs(spark, sf_dir)
@@ -895,6 +896,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         train = inj.unionByName(dup).filter(F.col("doc_id") % 97 != 0)
         ev = d.filter(F.col("doc_id") % 97 == 0).select("text")
+        lm_kwargs = {}
+        if lm_gate:
+            lm_kwargs = dict(
+                lm_ref=d.filter(
+                    F.pmod(
+                        ta.md5_60_expr(F.col("doc_id").cast("string")), F.lit(10)
+                    )
+                    < 3
+                ).select("doc_id", "text"),
+                lm_score_max=3.55,
+            )
         return cu.curate_corpus(
             train,
             ev,
@@ -902,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dup_frac_max=0.55,
             max_hamming=3,
             budget_tokens=600,
+            **lm_kwargs,
         )
 
     def q_curation_pipeline(spark, sf_dir):
@@ -923,6 +936,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["curation_pipeline"] = q_curation_pipeline
+
+    def q_curation_pipeline_lm(spark, sf_dir):
+        """curate_corpus with the bigram-LM perplexity gate in its
+        production position (CCNet's filter order): rule filters → LM
+        mean-surprisal <= 3.55 against a model trained on the
+        deterministic 30% reference slice → decontamination → dedup →
+        budget → PII mask; lm_score rides on the survivors. Same
+        injected corpus as curation_pipeline, value-oracled end to end
+        including every masked byte."""
+        from web_scraper_spark.functions import curation as cu
+
+        out = _curated(spark, sf_dir, lm_gate=True)
+        return out.select(
+            "doc_id",
+            "lang",
+            "quality",
+            "n_tokens",
+            "lm_score",
+            "cum_tokens",
+            ta.md5_60_expr(F.col("masked_text")).alias("masked_fp"),
+        )
+
+    q["curation_pipeline_lm"] = q_curation_pipeline_lm
 
     def q_curated_shard_manifest(spark, sf_dir):
         """The COMPLETE raw-corpus → training-input story in one oracled
@@ -2913,6 +2949,17 @@ def oracle_sql() -> dict[str, str]:
         dup_frac_max=0.55,
         max_hamming=3,
         budget_tokens=600,
+    )
+    o["curation_pipeline_lm"] = _cu.curate_corpus_sql(
+        _cur_train,
+        "(SELECT text FROM documents WHERE doc_id % 97 = 0)",
+        quality_min=0.9,
+        dup_frac_max=0.55,
+        max_hamming=3,
+        budget_tokens=600,
+        lm_ref=f"SELECT doc_id, text FROM documents"
+        f" WHERE ({ta.md5_60_sql('CAST(doc_id AS VARCHAR)')}) % 10 < 3",
+        lm_score_max=3.55,
     )
     o["curated_shard_manifest"] = shard_manifest_sql(
         8,

@@ -253,6 +253,7 @@ def bench_queries(spark):
         "pair_alignment": run("pair_alignment"),
         "semdedup": run("semdedup"),
         "curation_pipeline": run("curation_pipeline"),
+        "curation_pipeline_lm": run("curation_pipeline_lm"),
         "shard_positions": run("shard_positions"),
         "corpus_split": run("corpus_split"),
         "curated_shard_manifest": run("curated_shard_manifest"),

@@ -374,3 +374,35 @@ class TestLmBigramScore:
             .toString()
         )
         assert "Python" not in plan  # explode/agg/joins all JVM codegen
+
+
+class TestCurateCorpusLmGate:
+    """curate_corpus(lm_ref=, lm_score_max=) — the CCNet-position gate."""
+
+    def test_gate_drops_gibberish_and_carries_score(self, spark):
+        fluent = "the cat sat on the mat and the dog sat on the rug"
+        ref = spark.createDataFrame(
+            [(100 + i, fluent) for i in range(3)], "doc_id long, text string"
+        )
+        docs = spark.createDataFrame(
+            [(1, fluent), (2, "zq wv xj qq pk rr zz kk ww vv uu tt")],
+            "doc_id long, text string",
+        ).withColumn("lang", F.lit("en"))
+        # permissive rule thresholds: only the LM gate can drop here
+        base = cu.curate_corpus(
+            docs, None, quality_min=0.0, dup_frac_max=1.0
+        )
+        scores = {
+            r["doc_id"]: r["lm_score"]
+            for r in cu.lm_bigram_score(docs, ref).collect()
+        }
+        cut = (scores[1] + scores[2]) / 2
+        gated = cu.curate_corpus(
+            docs, None, quality_min=0.0, dup_frac_max=1.0,
+            lm_ref=ref, lm_score_max=cut,
+        )
+        got = {r["doc_id"]: r["lm_score"] for r in gated.collect()}
+        assert {r["doc_id"] for r in base.collect()} == {1, 2}
+        assert set(got) == {1}  # gibberish dropped by the LM gate alone
+        assert got[1] == scores[1]  # the score rides on the survivor
+        assert "lm_score" not in base.columns  # gate off -> schema unchanged

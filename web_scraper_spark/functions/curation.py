@@ -418,7 +418,10 @@ def lm_bigram_score_sql(
 ) -> str:
     """DuckDB twin of lm_bigram_score: same lowercased tokenization
     (zipped unnest), same Laplace rule, same 1e-6 fixed-point-per-token
-    integer sum, V as a scalar subquery."""
+    integer sum, V as a scalar subquery. Internal CTE names carry an
+    ``lm_`` prefix: this twin nests inside larger WITH chains
+    (curate_corpus_sql), and DuckDB's binder miresolves an inner CTE that
+    SHADOWS an outer name (reported as a circular reference)."""
 
     def bigrams(src: str) -> str:
         return f"""
@@ -433,35 +436,35 @@ def lm_bigram_score_sql(
         """
 
     return f"""
-      WITH d AS ({docs_cte}),
-      r AS ({ref_cte}),
-      refg AS ({bigrams('r')}),
-      c2 AS (SELECT w1, w2, count(*) AS c2 FROM refg GROUP BY 1, 2),
-      ctx AS (SELECT w1, sum(c2) AS cw FROM c2 GROUP BY 1),
-      v AS (SELECT count(DISTINCT w2) + 1 AS vocab FROM c2),
-      dg AS (
+      WITH lm_d AS ({docs_cte}),
+      lm_r AS ({ref_cte}),
+      lm_refg AS ({bigrams('lm_r')}),
+      lm_c2 AS (SELECT w1, w2, count(*) AS c2 FROM lm_refg GROUP BY 1, 2),
+      lm_ctx AS (SELECT w1, sum(c2) AS cw FROM lm_c2 GROUP BY 1),
+      lm_v AS (SELECT count(DISTINCT w2) + 1 AS vocab FROM lm_c2),
+      lm_dg AS (
         SELECT {id_col}, w1, w2, count(*) AS k
-        FROM ({bigrams('d')}) GROUP BY 1, 2, 3
+        FROM ({bigrams('lm_d')}) GROUP BY 1, 2, 3
       ),
-      scored AS (
-        SELECT dg.{id_col},
-               sum(dg.k * CAST(round(ln(
-                 CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE)
-                 / CAST(coalesce(ctx.cw, 0) + (SELECT vocab FROM v) AS DOUBLE)
+      lm_scored AS (
+        SELECT lm_dg.{id_col},
+               sum(lm_dg.k * CAST(round(ln(
+                 CAST(coalesce(lm_c2.c2, 0) + 1 AS DOUBLE)
+                 / CAST(coalesce(lm_ctx.cw, 0) + (SELECT vocab FROM lm_v) AS DOUBLE)
                ) * 1000000) AS BIGINT)) AS lm_sum_fp,
-               sum(dg.k) AS n_scored
-        FROM dg
-        LEFT JOIN c2 ON dg.w1 = c2.w1 AND dg.w2 = c2.w2
-        LEFT JOIN ctx ON dg.w1 = ctx.w1
+               sum(lm_dg.k) AS n_scored
+        FROM lm_dg
+        LEFT JOIN lm_c2 ON lm_dg.w1 = lm_c2.w1 AND lm_dg.w2 = lm_c2.w2
+        LEFT JOIN lm_ctx ON lm_dg.w1 = lm_ctx.w1
         GROUP BY 1
       )
-      SELECT d.{id_col},
+      SELECT lm_d.{id_col},
              CAST(coalesce(s.n_scored, 0) AS BIGINT) AS n_scored,
              CAST(coalesce(s.lm_sum_fp, 0) AS BIGINT) AS lm_sum_fp,
              CASE WHEN coalesce(s.n_scored, 0) > 0
                   THEN round(-s.lm_sum_fp / (CAST(s.n_scored AS DOUBLE) * 1000000.0), 6)
                   ELSE 0.0 END AS lm_score
-      FROM d LEFT JOIN scored s ON d.{id_col} = s.{id_col}
+      FROM lm_d LEFT JOIN lm_scored s ON lm_d.{id_col} = s.{id_col}
     """
 
 
@@ -482,15 +485,21 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     stratum_col: str = "lang",
+    lm_ref: DataFrame | None = None,
+    lm_score_max: float | None = None,
 ) -> DataFrame:
     """The full text-curation pipeline a training run feeds from, as ONE
-    operator: quality/repetition filter → benchmark decontamination →
-    exact+near dedup keep-set → per-stratum token-budget selection → PII
-    mask. The reference stops at per-page analysis
-    (content_analyzer.c:215-417); this is the corpus-level end product.
+    operator: quality/repetition filter → (optional) bigram-LM perplexity
+    gate → benchmark decontamination → exact+near dedup keep-set →
+    per-stratum token-budget selection → PII mask. The reference stops at
+    per-page analysis (content_analyzer.c:215-417); this is the
+    corpus-level end product.
 
     Returns the selected documents as (id, stratum, quality, n_tokens,
-    cum_tokens, masked_text). With budget_tokens=None the budget stage is
+    cum_tokens, masked_text) — plus ``lm_score`` when the LM gate is on
+    (pass BOTH lm_ref, a reference-slice DataFrame that trains the
+    model, and lm_score_max, the mean-surprisal ceiling; see
+    lm_bigram_score). With budget_tokens=None the budget stage is
     skipped and cum_tokens is the per-stratum quality-ordered running sum
     over ALL survivors (same window semantics, no cut).
 
@@ -524,6 +533,19 @@ def curate_corpus(
     ).filter(
         (F.col("quality") >= quality_min) & (F.col("_dup_frac") <= dup_frac_max)
     )
+    lm_cols: list[str] = []
+    if lm_ref is not None and lm_score_max is not None:
+        # the LM gate runs on the rule-filter survivors (fewer docs to
+        # score) and BEFORE the heavier decontamination/dedup joins;
+        # scored feeds both the scoring explode and the gate join
+        scored = dedupops.register_op_cache(scored)
+        lm = lm_bigram_score(
+            scored, lm_ref, id_col=id_col, text_col=text_col
+        ).select(id_col, "lm_score")
+        scored = scored.join(lm, id_col).filter(
+            F.col("lm_score") <= float(lm_score_max)
+        )
+        lm_cols = ["lm_score"]
     if eval_docs is not None:
         # scored feeds the contamination explode AND the survivor
         # semi-join — cache it so the scan+score subtree runs once
@@ -548,6 +570,7 @@ def curate_corpus(
             stratum_col,
             "quality",
             "n_tokens",
+            *lm_cols,
             pii_mask_expr(F.col(text_col)).alias("masked_text"),
         )
     )
@@ -562,7 +585,8 @@ def curate_corpus(
         pri, budget, stratum_col=stratum_col, id_col=id_col
     )
     return deduped.join(kept.select(id_col, "cum_tokens"), id_col).select(
-        id_col, stratum_col, "quality", "n_tokens", "cum_tokens", "masked_text"
+        id_col, stratum_col, "quality", "n_tokens", *lm_cols,
+        "cum_tokens", "masked_text",
     )
 
 
@@ -578,15 +602,19 @@ def curate_corpus_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     stratum_col: str = "lang",
+    lm_ref: str | None = None,
+    lm_score_max: float | None = None,
 ) -> str:
-    """DuckDB ground truth for curate_corpus: the same five stages stated
+    """DuckDB ground truth for curate_corpus: the same stages stated
     naively (all-pairs dedup, one-window budget scan). ``train`` /
     ``eval_table`` are table names or parenthesized subqueries; train must
-    expose (id, stratum, text), eval_table must expose text. The masked
-    text is reported as its md5-60 fingerprint (``masked_fp``) so every
-    masked byte is value-checked without shipping full text through the
-    comparator — the Spark caller applies the same fingerprint to
-    curate_corpus's ``masked_text`` column."""
+    expose (id, stratum, text), eval_table must expose text; ``lm_ref``
+    (with ``lm_score_max``) is the CTE body of the LM reference slice and
+    switches on the perplexity-gate stage. The masked text is reported as
+    its md5-60 fingerprint (``masked_fp``) so every masked byte is
+    value-checked without shipping full text through the comparator — the
+    Spark caller applies the same fingerprint to curate_corpus's
+    ``masked_text`` column."""
     from web_scraper_spark.functions import dedupops
     from web_scraper_spark.functions import textanalysis as ta
     from web_scraper_spark.operators.sampling import token_budget_sample_sql
@@ -599,6 +627,24 @@ def curate_corpus_sql(
         stratum_col=stratum_col,
         id_col=id_col,
     )
+    if lm_ref is not None and lm_score_max is not None:
+        lm_inner = lm_bigram_score_sql(
+            f"SELECT {id_col}, {text_col} FROM rule_filtered",
+            lm_ref,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        lm_stage = f"""
+lm AS ({lm_inner}),
+filtered AS (
+  SELECT f.*, lm.lm_score FROM rule_filtered f
+  JOIN lm USING ({id_col})
+  WHERE lm.lm_score <= {float(lm_score_max)}
+),"""
+        lm_out = " d.lm_score,"
+    else:
+        lm_stage = "filtered AS (SELECT * FROM rule_filtered),"
+        lm_out = ""
     return f"""
 WITH scored AS (
   SELECT {id_col}, {stratum_col}, {text_col},
@@ -607,10 +653,11 @@ WITH scored AS (
          {ta.dup_token_fraction_sql(text_col)} AS _dup_frac
   FROM {train}
 ),
-filtered AS (
+rule_filtered AS (
   SELECT * FROM scored
   WHERE quality >= {quality_min} AND _dup_frac <= {dup_frac_max}
 ),
+{lm_stage}
 ev AS (
   SELECT DISTINCT {md5_60_sql('g')} AS g FROM (
     SELECT unnest({token_ngrams_sql(text_col, ngram_n)}) AS g
@@ -632,7 +679,7 @@ keep AS ({dedupops.dedup_keep_ids_sql(max_hamming=max_hamming, table='clean',
                                       id_col=id_col, text_col=text_col)}),
 deduped AS (SELECT c.* FROM clean c JOIN keep k USING ({id_col})),
 sampled AS ({budget_sql})
-SELECT s.{id_col}, s.{stratum_col}, d.quality, d.n_tokens, s.cum_tokens,
+SELECT s.{id_col}, s.{stratum_col}, d.quality, d.n_tokens,{lm_out} s.cum_tokens,
        {md5_60_sql(pii_mask_sql('d.' + text_col))} AS masked_fp
 FROM sampled s JOIN deduped d USING ({id_col})
 """
