@@ -710,6 +710,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["oov_rate"] = q_oov_rate
 
+    def q_tfidf_topk(spark, sf_dir):
+        """Per-document top-3 keywords by tf-idf (textanalysis.tfidf_topk)
+        — the corpus-aware upgrade of the reference's per-page keyword
+        pass (content_analyzer.c:215-417). One explode feeds both the tf
+        and df aggregates; scores are 1e-6 fixed-point integers so the
+        ranking is exactly SQL-replayable; the per-doc window frame is
+        bounded by single-document vocabulary. Fully value-oracled."""
+        return ta.tfidf_topk(_docs(spark, sf_dir), k=3)
+
+    q["tfidf_topk"] = q_tfidf_topk
+
     def q_token_budget_sample(spark, sf_dir):
         """Budgeted per-language corpus selection: keep the highest-quality
         documents of each language until a 20k-token budget fills
@@ -2834,6 +2845,8 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, text FROM documents"
         f" WHERE ({ta.md5_60_sql('CAST(doc_id AS VARCHAR)')}) % 10 < 3",
     )
+
+    o["tfidf_topk"] = ta.tfidf_topk_sql("documents", k=3)
 
     o["vocab_topk"] = ta.vocab_topk_sql("documents", k=800)
     o["oov_rate"] = ta.oov_stats_sql(

@@ -250,6 +250,7 @@ def bench_queries(spark):
         "lm_score": run("lm_score"),
         "vocab_topk": run("vocab_topk"),
         "oov_rate": run("oov_rate"),
+        "tfidf_topk": run("tfidf_topk"),
         "pair_alignment": run("pair_alignment"),
         "semdedup": run("semdedup"),
         "curation_pipeline": run("curation_pipeline"),

@@ -782,3 +782,40 @@ class TestHardNegatives:
         assert len(out) > 0
         assert all(r["cosine"] < 0.2 for r in out)
         assert all(r["anchor_id"] != r["neg_id"] for r in out)
+
+
+class TestTfidfTopk:
+    """textanalysis.tfidf_topk — corpus-aware keyword extraction."""
+
+    def test_hand_case(self, spark):
+        import math
+
+        # 'apple' appears only in doc 1 (rare -> high idf);
+        # 'common' appears in all 3 docs (idf = ln(4/4) = 0)
+        rows = [
+            (1, "apple apple common"),
+            (2, "banana common"),
+            (3, "cherry common"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["doc_id"], r["rank"]): (r["word"], r["score_fp"])
+            for r in ta.tfidf_topk(df, k=2).collect()
+        }
+        rare = round(math.log(4.0 / 2.0) * 1e6)  # df=1 -> ln(4/2)
+        assert got[(1, 1)] == ("apple", 2 * rare)  # tf=2
+        assert got[(2, 1)] == ("banana", rare)
+        # 'common': df=3 -> ln(4/4)=0; ties at 0 break on word asc
+        assert got[(1, 2)] == ("common", 0)
+
+    def test_rank_is_per_doc_and_bounded(self, spark):
+        rows = [(1, "a b c d e"), (2, "")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = ta.tfidf_topk(df, k=3).collect()
+        assert {r["doc_id"] for r in out} == {1}  # blank doc emits nothing
+        assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3]
+
+    def test_no_python_in_plan(self, spark):
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        plan = ta.tfidf_topk(df, k=2)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan

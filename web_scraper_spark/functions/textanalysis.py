@@ -431,3 +431,93 @@ def oov_stats_sql(table: str, vocab_sql: str, id_col: str = "doc_id", text_col: 
                   ELSE 0.0 END AS oov_rate
       FROM {table} d LEFT JOIN hits h ON d.{id_col} = h.{id_col}
     """
+
+
+# --------------------------------------------------------------------------
+# TF-IDF keyword extraction (corpus-level upgrade of the reference's
+# per-page keyword pass, content_analyzer.c:215-417)
+# --------------------------------------------------------------------------
+
+
+def tfidf_topk(docs, k: int = 3, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document top-k keywords by tf-idf — the corpus-aware version
+    of the reference's per-page keyword extraction: a term ranks high
+    when frequent in THIS document but rare across the corpus.
+
+    Model: tf = in-doc count; idf = ln((N+1)/(df+1)) with df = number of
+    docs containing the term and N = corpus size; score is kept in 1e-6
+    fixed point (tf * round(idf * 1e6)) so ranking is integer-exact and
+    SQL-replayable. Ties break on the word asc. Returns
+    (id, word, score_fp, rank), rank 1-based; docs with no tokens emit
+    no rows.
+
+    100 TB shape: ONE explode feeds both aggregates — groupBy(id, word)
+    for tf, then a re-aggregate of THAT for df (count of docs per word —
+    no second corpus pass); the idf join is on the word key (vocab-sized
+    side, data-dependent — AQE promotes to broadcast when small); the
+    final window partitions by doc over per-doc DISTINCT words, a frame
+    bounded by single-document vocabulary. N is the one bounded driver
+    scalar (the oracle's scalar subquery)."""
+    from pyspark.sql import Window
+
+    n_docs = docs.where(F.length(F.trim(F.col(text_col))) > 0).count()
+    tf = (
+        _doc_words(docs, id_col, text_col)
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf_fp = F.round(
+        F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1).cast("double"))
+        * 1_000_000
+    ).cast("bigint")
+    scored = tf.join(df_, "w").select(
+        F.col(id_col),
+        F.col("w").alias("word"),
+        (F.col("tf") * idf_fp).alias("score_fp"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_fp"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            id_col, "word",
+            F.col("score_fp").cast("long").alias("score_fp"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def tfidf_topk_sql(table: str, k: int = 3, id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of tfidf_topk (same smoothing, fixed point, tie-break;
+    N as a scalar subquery over the same blank-doc rule)."""
+    return f"""
+      WITH tw AS (
+        SELECT {id_col},
+               unnest(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS w
+        FROM {table} WHERE length(trim({text_col})) > 0
+      ),
+      n AS (
+        SELECT count(*) AS n_docs FROM {table}
+        WHERE length(trim({text_col})) > 0
+      ),
+      tf AS (SELECT {id_col}, w, count(*) AS tf FROM tw GROUP BY 1, 2),
+      df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.{id_col}, tf.w AS word,
+               tf.tf * CAST(round(ln(
+                 CAST((SELECT n_docs FROM n) + 1 AS DOUBLE)
+                 / CAST(df.df + 1 AS DOUBLE)
+               ) * 1000000) AS BIGINT) AS score_fp
+        FROM tf JOIN df ON tf.w = df.w
+      )
+      SELECT {id_col}, word, CAST(score_fp AS BIGINT) AS score_fp,
+             CAST(rank AS BIGINT) AS rank
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY {id_col} ORDER BY score_fp DESC, word
+        ) AS rank FROM scored
+      ) WHERE rank <= {int(k)}
+    """
