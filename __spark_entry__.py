@@ -500,6 +500,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_report"] = q_corpus_report
 
+    def q_corpus_drift(spark, sf_dir):
+        """Training-data drift monitor between two crawl snapshots: the
+        per-language composition shift (old = doc_id % 3 != 0, new =
+        % 3 == 0 — the deterministic stand-in for generation N vs N+1).
+        Shares are integer ppm via bigint floor-division (n * 1e6 div N)
+        so the report is hash-exact; the totals enter as two bounded
+        driver scalars (the oracle's scalar subqueries). A full-outer
+        join keeps languages that exist in only one snapshot."""
+        d = _docs(spark, sf_dir)
+        old = d.filter(F.col("doc_id") % 3 != 0)
+        new = d.filter(F.col("doc_id") % 3 == 0)
+        n_old, n_new = old.count(), new.count()
+        oc = old.groupBy("lang").agg(F.count(F.lit(1)).alias("n_old"))
+        nc = new.groupBy("lang").agg(F.count(F.lit(1)).alias("n_new"))
+        j = oc.join(nc, "lang", "full_outer").select(
+            "lang",
+            F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+        share_old = F.expr(f"n_old * 1000000 div {max(n_old, 1)}")
+        share_new = F.expr(f"n_new * 1000000 div {max(n_new, 1)}")
+        return j.select(
+            "lang", "n_old", "n_new",
+            share_old.cast("long").alias("share_old_ppm"),
+            share_new.cast("long").alias("share_new_ppm"),
+            (share_new - share_old).cast("long").alias("delta_ppm"),
+        )
+
+    q["corpus_drift"] = q_corpus_drift
+
+    def q_vocab_drift(spark, sf_dir):
+        """One-row vocabulary drift metric between the same two
+        snapshots: Jaccard overlap of the top-500 vocabularies (old vs
+        new), in integer ppm — the cheap canary that fires when a new
+        crawl generation's language mix or tokenization shifts. Both
+        vocabs are bounded top-k frames; the intersection/union counts
+        are exact joins of k-row sides."""
+        d = _docs(spark, sf_dir)
+        vo = ta.vocab_topk(d.filter(F.col("doc_id") % 3 != 0), k=500).select(
+            "word", F.lit(1).alias("in_o")
+        )
+        vn = ta.vocab_topk(d.filter(F.col("doc_id") % 3 == 0), k=500).select(
+            "word", F.lit(1).alias("in_n")
+        )
+        u = vo.join(vn, "word", "full_outer").select(
+            F.coalesce("in_o", F.lit(0)).alias("in_o"),
+            F.coalesce("in_n", F.lit(0)).alias("in_n"),
+        )
+        agg = u.agg(
+            F.sum("in_o").cast("long").alias("n_old_vocab"),
+            F.sum("in_n").cast("long").alias("n_new_vocab"),
+            F.sum(F.col("in_o") * F.col("in_n")).cast("long").alias("n_common"),
+            F.count(F.lit(1)).cast("long").alias("_union"),
+        )
+        return agg.select(
+            "n_old_vocab", "n_new_vocab", "n_common",
+            F.expr("n_common * 1000000 div greatest(_union, 1)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+
+    q["vocab_drift"] = q_vocab_drift
+
     # ---------------- dedup family
     def q_meta_pairs(spark, sf_dir):
         """P9 general meta key/value extraction (extract_meta.c:8-60): every
@@ -2847,6 +2910,53 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["tfidf_topk"] = ta.tfidf_topk_sql("documents", k=3)
+
+    o["corpus_drift"] = """
+      WITH oldd AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+      newd AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+      oc AS (SELECT lang, count(*) AS n_old FROM oldd GROUP BY 1),
+      nc AS (SELECT lang, count(*) AS n_new FROM newd GROUP BY 1),
+      j AS (
+        SELECT coalesce(oc.lang, nc.lang) AS lang,
+               coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+        FROM oc FULL OUTER JOIN nc ON oc.lang = nc.lang
+      )
+      SELECT lang, CAST(n_old AS BIGINT) AS n_old,
+             CAST(n_new AS BIGINT) AS n_new,
+             CAST(n_old * 1000000 //
+                  greatest((SELECT count(*) FROM oldd), 1) AS BIGINT)
+               AS share_old_ppm,
+             CAST(n_new * 1000000 //
+                  greatest((SELECT count(*) FROM newd), 1) AS BIGINT)
+               AS share_new_ppm,
+             CAST(n_new * 1000000 //
+                  greatest((SELECT count(*) FROM newd), 1)
+                  - n_old * 1000000 //
+                  greatest((SELECT count(*) FROM oldd), 1) AS BIGINT)
+               AS delta_ppm
+      FROM j
+    """
+
+    _vo_sql = ta.vocab_topk_sql(
+        "(SELECT * FROM documents WHERE doc_id % 3 <> 0)", k=500
+    )
+    _vn_sql = ta.vocab_topk_sql(
+        "(SELECT * FROM documents WHERE doc_id % 3 = 0)", k=500
+    )
+    o["vocab_drift"] = f"""
+      WITH vo AS (SELECT word, 1 AS in_o FROM ({_vo_sql})),
+      vn AS (SELECT word, 1 AS in_n FROM ({_vn_sql})),
+      u AS (
+        SELECT coalesce(in_o, 0) AS in_o, coalesce(in_n, 0) AS in_n
+        FROM vo FULL OUTER JOIN vn ON vo.word = vn.word
+      )
+      SELECT CAST(sum(in_o) AS BIGINT) AS n_old_vocab,
+             CAST(sum(in_n) AS BIGINT) AS n_new_vocab,
+             CAST(sum(in_o * in_n) AS BIGINT) AS n_common,
+             CAST(sum(in_o * in_n) * 1000000 //
+                  greatest(count(*), 1) AS BIGINT) AS jaccard_ppm
+      FROM u
+    """
 
     o["vocab_topk"] = ta.vocab_topk_sql("documents", k=800)
     o["oov_rate"] = ta.oov_stats_sql(

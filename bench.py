@@ -251,6 +251,8 @@ def bench_queries(spark):
         "vocab_topk": run("vocab_topk"),
         "oov_rate": run("oov_rate"),
         "tfidf_topk": run("tfidf_topk"),
+        "corpus_drift": run("corpus_drift"),
+        "vocab_drift": run("vocab_drift"),
         "pair_alignment": run("pair_alignment"),
         "semdedup": run("semdedup"),
         "curation_pipeline": run("curation_pipeline"),
