@@ -887,3 +887,53 @@ class TestStreamingPairAlignment:
         run()
         got2 = {r["image_id"] for r in spark.read.parquet(out).collect()}
         assert got2 == {"p-00", "p-10"}
+
+
+class TestStreamingPairLanguage:
+    """curate_pairs_stream(allowed_langs=...) — the caption-language gate
+    as a STATELESS in-stream stage: foreign-language pairs drop before
+    dedup with no ghost state, mirroring the batch composite's 2a gate."""
+
+    def test_gate_drops_foreign_without_state(self, spark, tmp_path):
+        from web_scraper_spark import synth
+        from web_scraper_spark.streaming.pair_stream import (
+            PAIRS_STREAM_SCHEMA,
+            curate_pairs_stream,
+        )
+
+        pairs = str(tmp_path / "pairs")
+        out = str(tmp_path / "kept")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(pairs, exist_ok=True)
+
+        def drop(rows):
+            spark.createDataFrame(rows, PAIRS_STREAM_SCHEMA).coalesce(
+                1
+            ).write.mode("append").parquet(pairs)
+
+        def run():
+            curate_pairs_stream(
+                spark, pairs, out, ckpt, allowed_langs=("en", "und")
+            ).awaitTermination()
+
+        en = "a detailed photo of subject number %d in context"
+        de = "der hund ist nicht gross und die katze ist klein"
+        drop([
+            TestStreamingPairCuration._pair("p-00", synth.gen_pixels(0, 42), en % 0, 1.0),  # kept
+            TestStreamingPairCuration._pair("p-01", synth.gen_pixels(5, 42), de, 1.0),  # lang drop
+        ])
+        run()
+        got1 = {r["image_id"] for r in spark.read.parquet(out).collect()}
+        assert got1 == {"p-00"}
+
+        # p-01's pixels re-post with an allowed caption in batch 2: the
+        # gate is stateless, so the gated-out pair must not have claimed
+        # the phash; a re-post of p-00's pixels stays suppressed by the
+        # real dedup state.
+        drop([
+            TestStreamingPairCuration._pair("p-10", synth.gen_pixels(5, 42), en % 10, 2.0),  # kept
+            TestStreamingPairCuration._pair("p-11", synth.gen_pixels(0, 42), en % 11, 2.0),  # dup
+        ])
+        run()
+        got2 = {r["image_id"] for r in spark.read.parquet(out).collect()}
+        assert got2 == {"p-00", "p-10"}

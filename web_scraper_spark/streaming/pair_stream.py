@@ -73,6 +73,7 @@ def curate_pairs_stream(
     min_sharp_milli: int = 2_000_000,
     min_ent_milli: int = 4_000,
     min_alignment: float | None = None,
+    allowed_langs: tuple[str, ...] | None = None,
     ttl: float | None = None,
 ):
     """Start the pair-curation stream (availableNow trigger: drains
@@ -88,7 +89,12 @@ def curate_pairs_stream(
     runs STATELESS between the metadata filters and the decode gate —
     codegen only, so it adds no state store and no exchange, and the
     embedding arrays are dropped at the gate so neither the dedup state
-    nor the shuffle ever carries a vector payload."""
+    nor the shuffle ever carries a vector payload.
+
+    With ``allowed_langs`` set, the batch composite's caption-language
+    gate (pairs.pair_corpus_clean 2a: marker-argmax lang id) also runs
+    STATELESS after the metadata filters — same codegen rule, same drop
+    decisions as the batch path, no state store, no exchange."""
     schema = (
         PAIRS_EMB_STREAM_SCHEMA if min_alignment is not None
         else PAIRS_STREAM_SCHEMA
@@ -108,6 +114,14 @@ def curate_pairs_stream(
             & (F.col("caption_tokens") >= min_caption_tokens)
         )
     )
+    if allowed_langs is not None:
+        from ..functions.textanalysis import lang_id_expr
+
+        scored = scored.filter(
+            lang_id_expr(F.col("caption")).isin(
+                *[F.lit(l) for l in allowed_langs]
+            )
+        )
     if min_alignment is not None:
         from ..functions.simsearch import cosine_expr
 
