@@ -1267,6 +1267,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hard_negatives"] = q_hard_negatives
 
+    def q_pair_hard_negatives(spark, sf_dir):
+        """CROSS-MODAL hard-negative mining for contrastive (CLIP-style)
+        training: for each pair's IMAGE embedding, the 5 most-similar
+        CAPTION embeddings from OTHER pairs below the near-dup threshold
+        (simsearch.cross_negative_topk). Own-pair exclusion is by id —
+        an aligned pair scores ~1 and must never be its own negative.
+        Pair i's caption side reads the next vector ((i+1) mod n, n = the
+        one bounded driver scalar) so the mapping is nontrivial; fully
+        value-oracled with the same shift replayed as scalar subqueries."""
+        e = _emb(spark, sf_dir).withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        n = e.count()
+        anchors = e.select(
+            F.col("vec_id").alias("pair_id"),
+            F.col("embedding").alias("image_emb"),
+        )
+        corpus = e.select(
+            ((F.col("vec_id") + n - 1) % n).alias("pair_id"),
+            F.col("embedding").alias("caption_emb"),
+        )
+        return simsearch.cross_negative_topk(
+            anchors, corpus, k=5, dup_threshold=0.35
+        )
+
+    q["pair_hard_negatives"] = q_pair_hard_negatives
+
     def q_embedding_dup_clusters(spark, sf_dir):
         """Third modality of the transitive-cluster family: connected
         components over the EXACT cosine near-dup graph (block-gemm
@@ -3581,6 +3608,15 @@ GROUP BY 1, 2
 
     o["hard_negatives"] = simsearch.hard_negative_topk_sql(
         "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)",
+        k=5,
+        dup_threshold=0.35,
+    )
+
+    o["pair_hard_negatives"] = simsearch.cross_negative_topk_sql(
+        "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+        "SELECT (vec_id + (SELECT count(*) FROM embeddings) - 1)"
+        " % (SELECT count(*) FROM embeddings) AS id,"
+        " CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
         k=5,
         dup_threshold=0.35,
     )

@@ -223,6 +223,7 @@ def bench_queries(spark):
         "ann_brute_topk": run("ann_brute_topk"),
         "embedding_sig_neardup": run("embedding_sig_neardup"),
         "hard_negatives": run("hard_negatives"),
+        "pair_hard_negatives": run("pair_hard_negatives"),
         "image_invariants": run("image_invariants"),
         "image_quality": run("image_quality"),
         "pair_corpus_report": run("pair_corpus_report"),

@@ -819,3 +819,47 @@ class TestTfidfTopk:
         df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         plan = ta.tfidf_topk(df, k=2)._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan
+
+
+class TestCrossNegatives:
+    """simsearch.cross_negative_topk — cross-modal hard negatives."""
+
+    def test_own_pair_excluded_by_id_not_vector(self, spark):
+        # pair 0's caption vec IS its image vec (cosine 1.0): id-equality
+        # exclusion must drop it even though dup_threshold=1.01 would not
+        anchors = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+            "pair_id long, image_emb array<double>",
+        )
+        corpus = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [1.0, 0.1])],
+            "pair_id long, caption_emb array<double>",
+        )
+        out = simsearch.cross_negative_topk(
+            anchors, corpus, k=2, dup_threshold=1.01, n_blocks=3
+        ).collect()
+        got = {(r["anchor_id"], r["neg_id"]) for r in out}
+        assert (0, 0) not in got and (1, 1) not in got
+        assert (0, 1) in got and (1, 0) in got
+
+    def test_block_count_invariance(self, spark, emb):
+        e = emb.limit(50).withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        anchors = e.select(
+            F.col("vec_id").alias("pair_id"),
+            F.col("embedding").alias("image_emb"),
+        )
+        corpus = e.select(
+            (F.col("vec_id") * 3 % 50).alias("pair_id"),
+            F.col("embedding").alias("caption_emb"),
+        )
+        a = simsearch.cross_negative_topk(
+            anchors, corpus, k=3, dup_threshold=0.35, n_blocks=2
+        )
+        b = simsearch.cross_negative_topk(
+            anchors, corpus, k=3, dup_threshold=0.35, n_blocks=9
+        )
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        assert ra == rb and len(ra) > 0

@@ -317,6 +317,137 @@ def hard_negative_topk(
     )
 
 
+def cross_negative_topk(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    dup_threshold: float = 0.95,
+    a_id_col: str = "pair_id",
+    a_vec_col: str = "image_emb",
+    c_id_col: str = "pair_id",
+    c_vec_col: str = "caption_emb",
+    n_blocks: int = 16,
+) -> DataFrame:
+    """CROSS-MODAL hard-negative mining — the CLIP-training variant of
+    hard_negative_topk: for every anchor (e.g. an image embedding), the k
+    most-similar vectors from the OTHER side (caption embeddings),
+    excluding the anchor's OWN pair (id equality, not vector identity —
+    an aligned pair scores ~1 and must never be its own negative) and
+    anything at/above dup_threshold. (anchor_id, neg_id, cosine, rank),
+    ties by neg_id asc; EXACT.
+
+    Same block-matrix shape as the symmetric op, with two DISTINCT sides:
+    both sides hash THEIR id with the same function, so an anchor and its
+    own pair always meet in exactly one task where the id-inequality mask
+    applies; every (anchor-block, corpus-block) pair is one gemm task
+    emitting a per-anchor local top-k, and one window reduces the
+    O(n_blocks * k) candidates per anchor. Round-6 before every decision
+    ⇒ exactly SQL-replayable."""
+    import pandas as pd
+
+    id_type = anchors.schema[a_id_col].dataType.simpleString()
+    out_schema = f"anchor_id {id_type}, neg_id {id_type}, cosine double"
+    B = int(n_blocks)
+    kk = int(k)
+    thr = float(dup_threshold)
+
+    def blocked(df, id_col, vec_col, side):
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(B))
+            .cast("int")
+            .alias("b"),
+            F.lit(side).alias("side"),
+        )
+
+    a = blocked(anchors, a_id_col, a_vec_col, 0)
+    c = blocked(corpus, c_id_col, c_vec_col, 1)
+    # anchor block ba meets every corpus block: replicate each side B ways
+    left = a.select(
+        F.col("b").alias("bi"),
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("bj"),
+        "id", "v", "side",
+    )
+    right = c.select(
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("bi"),
+        F.col("b").alias("bj"),
+        "id", "v", "side",
+    )
+    both = left.unionByName(right)
+
+    def local_topk(key, pdf):
+        la = pdf[pdf["side"] == 0]
+        lb = pdf[pdf["side"] == 1]
+        if la.empty or lb.empty:
+            return pd.DataFrame({"anchor_id": [], "neg_id": [], "cosine": []})
+        A = np.stack(la["v"].to_numpy()).astype(np.float64)
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        Bm = np.stack(lb["v"].to_numpy()).astype(np.float64)
+        Bn = Bm / np.linalg.norm(Bm, axis=1, keepdims=True)
+        ia = la["id"].to_numpy()
+        ib = lb["id"].to_numpy()
+        S = np.round(An @ Bn.T, 6)
+        mask = (S < thr) & (ia[:, None] != ib[None, :])
+        Sm = np.where(mask, S, -np.inf)
+        base = np.argsort(ib, kind="stable")
+        Ss = Sm[:, base]
+        take = min(kk, Ss.shape[1])
+        order = np.argsort(-Ss, axis=1, kind="stable")[:, :take]
+        rows = np.repeat(np.arange(Ss.shape[0]), take)
+        cols = order.ravel()
+        sel = Ss[rows, cols]
+        keep = np.isfinite(sel)
+        return pd.DataFrame(
+            {
+                "anchor_id": ia[rows[keep]],
+                "neg_id": ib[base[cols[keep]]],
+                "cosine": sel[keep],
+            }
+        )
+
+    cands = both.groupBy("bi", "bj").applyInPandas(local_topk, out_schema)
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.col("neg_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select(
+            "anchor_id", "neg_id", "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def cross_negative_topk_sql(
+    anchors_cte: str,
+    corpus_cte: str,
+    k: int = 5,
+    dup_threshold: float = 0.95,
+) -> str:
+    """DuckDB twin of cross_negative_topk (brute, oracle scale only).
+    ``anchors_cte``/``corpus_cte`` must yield (id, v)."""
+    return f"""
+      WITH xn_a AS ({anchors_cte}),
+      xn_c AS ({corpus_cte}),
+      xn_p AS (
+        SELECT a.id AS anchor_id, c.id AS neg_id,
+               round({cosine_sql('a.v', 'c.v')}, 6) AS cosine
+        FROM xn_a a JOIN xn_c c ON a.id <> c.id
+      ),
+      xn_r AS (
+        SELECT anchor_id, neg_id, cosine,
+               row_number() OVER (
+                 PARTITION BY anchor_id ORDER BY cosine DESC, neg_id
+               ) AS rank
+        FROM xn_p WHERE cosine < {float(dup_threshold)}
+      )
+      SELECT anchor_id, neg_id, cosine, CAST(rank AS BIGINT) AS rank
+      FROM xn_r WHERE rank <= {int(k)}
+    """
+
+
 def hard_negative_topk_sql(
     table: str,
     k: int = 5,
