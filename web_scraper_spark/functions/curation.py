@@ -363,8 +363,16 @@ def lm_bigram_score(
     bounded driver scalar (the oracle's scalar subquery). No UDF, no
     corpus data on the driver.
     """
+    from web_scraper_spark.functions.dedupops import register_op_cache
+
     refg = _doc_bigrams(ref_docs, id_col, text_col)
-    c2 = refg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # the bigram table feeds THREE consumers (the context re-aggregate,
+    # the V scalar, and the scoring join) and — inside curate_corpus —
+    # re-enters the lineage of every downstream pipeline stage; without a
+    # cache the reference explode+agg recomputes per consumer
+    c2 = register_op_cache(
+        refg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    )
     ctx = c2.groupBy("w1").agg(F.sum("c2").alias("cw"))
     vocab = c2.select("w2").distinct().count() + 1  # bounded scalar
 
