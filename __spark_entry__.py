@@ -1034,6 +1034,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_pipeline_lm"] = q_curation_pipeline_lm
 
+    def q_pair_shard_manifest(spark, sf_dir):
+        """Multimodal shard hand-off accounting
+        (sharding.pair_shard_manifest): the text manifest's contract
+        extended with the per-shard IMAGE BYTE sum a multimodal loader
+        sizes its prefetch/storage budget by. One partial-aggregable
+        groupBy(shard); octet_length is codegen on the binary cell — no
+        decode, no Python. Fully value-oracled (the oracle re-derives
+        every image's byte length sequentially)."""
+        from web_scraper_spark import synth
+        from web_scraper_spark.operators import sharding
+
+        imgs = synth.images_df(spark, 256, seed=42).select(
+            "image_id", "caption", "bytes"
+        )
+        return sharding.pair_shard_manifest(imgs, 8, salt=5)
+
+    q["pair_shard_manifest"] = q_pair_shard_manifest
+
     def q_curated_shard_manifest(spark, sf_dir):
         """The COMPLETE raw-corpus → training-input story in one oracled
         statement: curate_corpus's survivors handed off to the shard
@@ -2631,6 +2649,22 @@ def _image_augment_values(n: int, seed: int, epoch: int, size: int) -> str:
     return ", ".join(rows)
 
 
+def _pair_bytes_len_values(n: int, seed: int) -> str:
+    """(image_id, caption, n_bytes) VALUES literal — encoded payload
+    lengths re-derived sequentially for the pair_shard_manifest oracle
+    (caption quoting matches the synth wordlist: no quotes inside)."""
+    import pandas as pd
+
+    from web_scraper_spark import synth
+
+    pdf = synth.images_pdf(pd.Series(range(n)), seed)
+    rows = []
+    for r in pdf.itertuples(index=False):
+        cap = str(r.caption).replace("'", "''")
+        rows.append(f"('{r.image_id}', '{cap}', {len(bytes(r.bytes))})")
+    return ", ".join(rows)
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -3111,6 +3145,18 @@ def oracle_sql() -> dict[str, str]:
         f" WHERE ({ta.md5_60_sql('CAST(doc_id AS VARCHAR)')}) % 10 < 3",
         lm_score_max=3.55,
     )
+    from web_scraper_spark.operators.sharding import pair_shard_manifest_sql
+
+    o["pair_shard_manifest"] = pair_shard_manifest_sql(
+        8,
+        salt=5,
+        bytes_len_sql="n_bytes",
+        table=(
+            f"(SELECT * FROM (VALUES {_pair_bytes_len_values(256, 42)})"
+            f" AS t(image_id, caption, n_bytes))"
+        ),
+    )
+
     o["curated_shard_manifest"] = shard_manifest_sql(
         8,
         id_col="doc_id",

@@ -261,6 +261,7 @@ def bench_queries(spark):
         "shard_positions": run("shard_positions"),
         "corpus_split": run("corpus_split"),
         "curated_shard_manifest": run("curated_shard_manifest"),
+        "pair_shard_manifest": run("pair_shard_manifest"),
         "chunk_docs": run("chunk_docs"),
     }
 

@@ -650,3 +650,55 @@ class TestPairShardChain:
             ).collect()
         }
         assert sm == bm
+
+
+class TestPairShardManifest:
+    """sharding.pair_shard_manifest — multimodal byte-budget accounting."""
+
+    def test_sums_and_placement_match_sequential(self, spark):
+        import hashlib
+
+        from web_scraper_spark.operators import sharding
+
+        rows = [
+            ("img-a", "two words", b"\x00" * 10),
+            ("img-b", "three little words", b"\x01" * 7),
+            ("img-c", "one", b"" ),
+        ]
+        df = spark.createDataFrame(
+            rows, "image_id string, caption string, bytes binary"
+        )
+        got = {
+            r["shard"]: (
+                r["n_pairs"], r["n_caption_tokens"],
+                r["n_image_bytes"], r["content_ck"],
+            )
+            for r in sharding.pair_shard_manifest(df, 4, salt=3).collect()
+        }
+
+        def md60(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        want = {}
+        for iid, cap, data in rows:
+            sh = md60(f"3:{iid}") % 4
+            n, t, b, ck = want.get(sh, (0, 0, 0, 0))
+            want[sh] = (
+                n + 1,
+                t + len(cap.split()),
+                b + len(data),
+                (ck + md60(f"{iid}:{cap}") % 1_000_000_007) % 1_000_000_007,
+            )
+        assert got == want
+
+    def test_no_python_and_no_decode(self, spark):
+        from web_scraper_spark.operators import sharding
+
+        df = spark.createDataFrame(
+            [("i", "c", b"x")], "image_id string, caption string, bytes binary"
+        )
+        plan = (
+            sharding.pair_shard_manifest(df, 2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan  # octet_length is codegen on the cell

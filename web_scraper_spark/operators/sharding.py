@@ -337,3 +337,84 @@ def merge_manifests(standing: DataFrame, delta: DataFrame) -> DataFrame:
         F.sum("n_tokens").alias("n_tokens"),
         (F.sum("content_ck") % _CKSUM_MOD).alias("content_ck"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal (image+caption) shard manifest — byte-budget accounting
+# ---------------------------------------------------------------------------
+
+
+def pair_shard_manifest(
+    pairs: DataFrame,
+    n_shards: int,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+    bytes_col: str = "bytes",
+    salt: int = 0,
+) -> DataFrame:
+    """Per-shard manifest for an image+caption pair corpus:
+    (shard, n_pairs, n_caption_tokens, n_image_bytes, content_ck).
+
+    The text manifest's contract (shard_manifest) extended with the
+    accounting a MULTIMODAL loader sizes its prefetch and storage budget
+    by — the image payload's byte sum per shard. content_ck covers
+    (id ':' caption) exactly like the text manifest, so caption bytes are
+    verifiable per shard without re-reading pixels; the pixel payload is
+    accounted (octet_length) but not hashed here — per-image byte
+    integrity is already pinned row-wise by the bytes_md5 oracles of the
+    resize/augment family.
+
+    Same 100 TB shape as shard_manifest: one partial-aggregable
+    groupBy(shard); octet_length is metadata-free codegen on the binary
+    cell (no decode, no Python)."""
+    from web_scraper_spark.functions.textanalysis import token_count_expr
+
+    assigned = shard_assign(pairs, n_shards, id_col=id_col, salt=salt)
+    term = (
+        md5_60_expr(
+            F.concat(
+                F.col(id_col).cast("string"), F.lit(":"), F.col(caption_col)
+            )
+        )
+        % _CKSUM_MOD
+    )
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(token_count_expr(F.col(caption_col)).cast("long")).alias(
+            "n_caption_tokens"
+        ),
+        F.sum(F.octet_length(F.col(bytes_col)).cast("long")).alias(
+            "n_image_bytes"
+        ),
+        (F.sum(term) % _CKSUM_MOD).alias("content_ck"),
+    )
+
+
+def pair_shard_manifest_sql(
+    n_shards: int,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+    bytes_len_sql: str = "octet_length(bytes)",
+    salt: int = 0,
+    table: str = "pairs",
+) -> str:
+    """DuckDB twin of pair_shard_manifest. ``bytes_len_sql`` lets the
+    oracle substitute a precomputed length column when the literal table
+    carries sizes instead of binary cells."""
+    from web_scraper_spark.functions.textanalysis import token_count_sql
+
+    sid = f"CAST({id_col} AS VARCHAR)"
+    shard_arg = f"'{salt}:' || {sid}"
+    shard = f"({md5_60_sql(shard_arg)} % {n_shards})"
+    ntok = token_count_sql(caption_col)
+    term_arg = f"{sid} || ':' || {caption_col}"
+    term = f"({md5_60_sql(term_arg)} % {_CKSUM_MOD})"
+    return f"""
+        SELECT CAST({shard} AS INT) AS shard,
+               COUNT(*) AS n_pairs,
+               SUM(CAST({ntok} AS BIGINT)) AS n_caption_tokens,
+               SUM(CAST({bytes_len_sql} AS BIGINT)) AS n_image_bytes,
+               SUM({term}) % {_CKSUM_MOD} AS content_ck
+        FROM {table}
+        GROUP BY 1
+    """
