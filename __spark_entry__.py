@@ -1034,6 +1034,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_pipeline_lm"] = q_curation_pipeline_lm
 
+    def q_blocklist_filter(spark, sf_dir):
+        """Safety gate (curation.blocklist_filter): drop documents whose
+        banned-term token fraction crosses 3% — the UT1-style blocklist
+        stage with a neutral placeholder list. Banned terms injected at
+        two densities (one term on doc_id % 13, five on % 17) so both
+        keep-with-stats and drop paths provably fire; whole-token
+        substring-count matching replays exactly in SQL. Row-local
+        codegen pushed onto the scan."""
+        from web_scraper_spark.functions import curation
+
+        d = _docs(spark, sf_dir)
+        t1 = F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("text"), F.lit(" spamterm")),
+        ).otherwise(F.col("text"))
+        t2 = F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(t1, F.lit(" badword1 badword2 badword3 nsfwterm spamterm")),
+        ).otherwise(t1)
+        inj = d.select("doc_id", t2.alias("text"))
+        return curation.blocklist_filter(inj, max_banned_frac=0.03).select(
+            "doc_id", "n_banned", "banned_frac"
+        )
+
+    q["blocklist_filter"] = q_blocklist_filter
+
     def q_pair_shard_manifest(spark, sf_dir):
         """Multimodal shard hand-off accounting
         (sharding.pair_shard_manifest): the text manifest's contract
@@ -3017,6 +3043,29 @@ def oracle_sql() -> dict[str, str]:
              CAST(sum(in_o * in_n) * 1000000 //
                   greatest(count(*), 1) AS BIGINT) AS jaccard_ppm
       FROM u
+    """
+
+    from web_scraper_spark.functions.curation import blocklist_stats_sql
+
+    _bl = blocklist_stats_sql("text")
+    o["blocklist_filter"] = f"""
+      WITH inj AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 17 = 0 THEN
+                 (CASE WHEN doc_id % 13 = 0 THEN text || ' spamterm' ELSE text END)
+                 || ' badword1 badword2 badword3 nsfwterm spamterm'
+               WHEN doc_id % 13 = 0 THEN text || ' spamterm'
+               ELSE text END AS text
+        FROM documents
+      ),
+      scored AS (
+        SELECT doc_id,
+               {_bl['n_banned']} AS n_banned,
+               {_bl['banned_frac']} AS banned_frac
+        FROM inj
+      )
+      SELECT doc_id, n_banned, banned_frac
+      FROM scored WHERE banned_frac <= 0.03
     """
 
     o["vocab_topk"] = ta.vocab_topk_sql("documents", k=800)

@@ -248,6 +248,7 @@ def bench_queries(spark):
         "decontaminate": run("decontaminate"),
         "pii_scrub": run("pii_scrub"),
         "boilerplate_scrub": run("boilerplate_scrub"),
+        "blocklist_filter": run("blocklist_filter"),
         "lm_score": run("lm_score"),
         "vocab_topk": run("vocab_topk"),
         "oov_rate": run("oov_rate"),

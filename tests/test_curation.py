@@ -406,3 +406,45 @@ class TestCurateCorpusLmGate:
         assert set(got) == {1}  # gibberish dropped by the LM gate alone
         assert got[1] == scores[1]  # the score rides on the survivor
         assert "lm_score" not in base.columns  # gate off -> schema unchanged
+
+
+class TestBlocklistFilter:
+    """curation.blocklist_filter — banned-term safety gate."""
+
+    def test_zero_tolerance_and_stats(self, spark):
+        rows = [
+            (1, "clean text with ten ordinary words here now today friends"),
+            (2, "short spamterm text"),
+            (3, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kept = {r["doc_id"]: (r["n_banned"], r["banned_frac"])
+                for r in cu.blocklist_filter(df, 0.0).collect()}
+        assert set(kept) == {1, 3}
+        assert kept[1] == (0, 0.0)
+        assert kept[3] == (0, 0.0)  # blank text never divides by zero
+
+    def test_fraction_threshold(self, spark):
+        # 1 banned / 10 tokens = 0.1: kept at 0.1, dropped below
+        text = "spamterm " + " ".join(f"w{i}" for i in range(9))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        assert cu.blocklist_filter(df, 0.1).count() == 1
+        assert cu.blocklist_filter(df, 0.099999).count() == 0
+
+    def test_whole_token_match_only(self, spark):
+        # 'spamterms' and 'xspamterm' must NOT count (token boundaries)
+        df = spark.createDataFrame(
+            [(1, "spamterms xspamterm fine")], "doc_id long, text string"
+        )
+        got = cu.blocklist_filter(df, 0.0).collect()
+        assert len(got) == 1 and got[0]["n_banned"] == 0
+
+    def test_custom_list_and_no_python(self, spark):
+        df = spark.createDataFrame([(1, "foo bar")], "doc_id long, text string")
+        out = cu.blocklist_filter(df, 0.0, terms=["foo"])
+        assert out.count() == 0  # custom list fires
+        plan = (
+            cu.blocklist_filter(df, 0.0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan

@@ -691,3 +691,84 @@ SELECT s.{id_col}, s.{stratum_col}, d.quality, d.n_tokens,{lm_out} s.cum_tokens,
        {md5_60_sql(pii_mask_sql('d.' + text_col))} AS masked_fp
 FROM sampled s JOIN deduped d USING ({id_col})
 """
+
+
+# --------------------------------------------------------------------------
+# blocklist safety filter (banned-term fraction gate)
+# --------------------------------------------------------------------------
+#
+# The safety stage of a corpus pipeline: documents (or captions) whose
+# banned-term density crosses a threshold are dropped or flagged before
+# training. The term list here is a NEUTRAL PLACEHOLDER (a UT1-style
+# deployment swaps in its real blocklist — the operator is list-agnostic);
+# matching is whole-token on the lowercased text via the same
+# substring-count identity the stopword/sentiment family uses, so the
+# decision replays exactly in SQL.
+
+BLOCKLIST_DEFAULT = ["badword1", "badword2", "badword3", "spamterm", "nsfwterm"]
+
+
+def blocklist_stats_expr(text: Column, terms: list[str] | None = None) -> Column:
+    """(n_banned, banned_frac) struct: whole-token banned-term
+    occurrences over the lowercased text, and their fraction of the
+    token count (0.0 for blank text). Pure codegen."""
+    from web_scraper_spark.functions.textanalysis import (
+        _count_sub_expr,
+        token_count_expr,
+    )
+
+    terms = BLOCKLIST_DEFAULT if terms is None else list(terms)
+    lower = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    n = None
+    for t in terms:
+        c = _count_sub_expr(lower, f" {t} ")
+        n = c if n is None else n + c
+    toks = token_count_expr(text)
+    frac = F.when(toks == 0, F.lit(0.0)).otherwise(
+        F.round(n / toks.cast("double"), 6)
+    )
+    return F.struct(
+        n.cast("long").alias("n_banned"), frac.alias("banned_frac")
+    )
+
+
+def blocklist_stats_sql(text: str, terms: list[str] | None = None) -> dict[str, str]:
+    """DuckDB twins: {'n_banned': ..., 'banned_frac': ...}."""
+    from web_scraper_spark.functions.textanalysis import (
+        _count_sub_sql,
+        token_count_sql,
+    )
+
+    terms = BLOCKLIST_DEFAULT if terms is None else list(terms)
+    lower = f"(' ' || lower({text}) || ' ')"
+    n = " + ".join(_count_sub_sql(lower, f" {t} ") for t in terms)
+    toks = token_count_sql(text)
+    frac = (
+        f"CASE WHEN ({toks}) = 0 THEN 0.0 "
+        f"ELSE round(({n}) / CAST(({toks}) AS DOUBLE), 6) END"
+    )
+    return {
+        "n_banned": f"CAST(({n}) AS BIGINT)",
+        "banned_frac": frac,
+    }
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    max_banned_frac: float = 0.0,
+    terms: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Safety gate: keep documents whose banned-term fraction is at or
+    below ``max_banned_frac`` (default 0.0 = zero tolerance). Returns
+    every KEPT row with (n_banned, banned_frac) riding along. Row-local
+    codegen — pushed onto the scan, no shuffle, linear at 100 TB."""
+    s = blocklist_stats_expr(F.col(text_col), terms)
+    return (
+        docs.withColumn("_bs", s)
+        .filter(F.col("_bs.banned_frac") <= float(max_banned_frac))
+        .withColumn("n_banned", F.col("_bs.n_banned"))
+        .withColumn("banned_frac", F.col("_bs.banned_frac"))
+        .drop("_bs")
+    )
