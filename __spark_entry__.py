@@ -784,6 +784,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tfidf_topk"] = q_tfidf_topk
 
+    def q_temperature_mixture(spark, sf_dir):
+        """Temperature-scaled multilingual selection (T=0.5): per-language
+        budgets proportional to sqrt(language token total) — the standard
+        low-resource upweighting rule — computed entirely as DataFrame
+        aggregates (sampling.temperature_budgets: one groupBy + a
+        broadcast 1-row normalizer, nothing on the driver) and fed into
+        the two-phase budget sampler's computed-budget form. sqrt is
+        IEEE-correctly-rounded, weights are 1e-6 fixed point, budgets are
+        integer division — hash-exact, fully value-oracled."""
+        from web_scraper_spark.operators import sampling
+
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            "lang",
+            ta.quality_score_expr(F.col("text")).alias("priority"),
+            ta.token_count_expr(F.col("text")).cast("long").alias("tokens"),
+        )
+        budgets = sampling.temperature_budgets(d, 60_000)
+        return sampling.token_budget_sample(d, budgets)
+
+    q["temperature_mixture"] = q_temperature_mixture
+
     def q_token_budget_sample(spark, sf_dir):
         """Budgeted per-language corpus selection: keep the highest-quality
         documents of each language until a 20k-token budget fills
@@ -3083,6 +3105,20 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         )""",
         20_000,
+    )
+
+    from web_scraper_spark.operators.sampling import (
+        temperature_budget_sample_sql,
+    )
+
+    o["temperature_mixture"] = temperature_budget_sample_sql(
+        f"""(
+          SELECT doc_id, lang,
+                 {ta.quality_score_sql('text')} AS priority,
+                 CAST({ta.token_count_sql('text')} AS BIGINT) AS tokens
+          FROM documents
+        )""",
+        60_000,
     )
 
     o["mixture_sample"] = token_budget_sample_sql(

@@ -245,6 +245,7 @@ def bench_queries(spark):
         "token_budget_sample": run("token_budget_sample"),
         "pack_sequences": run("pack_sequences"),
         "mixture_sample": run("mixture_sample"),
+        "temperature_mixture": run("temperature_mixture"),
         "decontaminate": run("decontaminate"),
         "pii_scrub": run("pii_scrub"),
         "boilerplate_scrub": run("boilerplate_scrub"),

@@ -385,3 +385,55 @@ def test_chunk_duckdb_twin(spark):
         for r in con.execute(chunk_documents_sql(32, 8)).fetchall()
     }
     assert got == want
+
+
+class TestTemperatureBudgets:
+    """sampling.temperature_budgets — sqrt (T=0.5) mixture weights."""
+
+    def test_budgets_match_hand_math(self, spark):
+        import math
+
+        from web_scraper_spark.operators import sampling
+
+        rows = [(1, "big", 9000), (2, "mid", 1000), (3, "low", 40)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, tokens long"
+        )
+        got = {
+            r["lang"]: (r["stratum_tokens"], r["w_fp"], r["_budget"])
+            for r in sampling.temperature_budgets(df, 10_000).collect()
+        }
+        w = {l: round(math.sqrt(t) * 1e6) for _, l, t in rows}
+        tot = sum(w.values())
+        for _, l, t in rows:
+            assert got[l] == (t, w[l], 10_000 * w[l] // tot)
+        # sqrt upweights low-resource strata vs proportional shares
+        assert got["low"][2] / 10_000 > 40 / 10_040
+
+    def test_feeds_the_sampler_as_a_frame(self, spark):
+        from web_scraper_spark.operators import sampling
+
+        rows = [
+            (i, "a" if i < 8 else "b", 1.0, 10) for i in range(10)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, priority double, tokens long"
+        )
+        budgets = sampling.temperature_budgets(df, 60)
+        kept = sampling.token_budget_sample(df, budgets).collect()
+        # budgets: w(a)=sqrt(80), w(b)=sqrt(20) -> a:40 tokens (4 docs),
+        # b:20 tokens (2 docs)
+        by = {}
+        for r in kept:
+            by.setdefault(r["lang"], []).append(r["doc_id"])
+        assert len(by["a"]) == 4 and len(by["b"]) == 2
+
+    def test_no_python_no_driver_data(self, spark):
+        from web_scraper_spark.operators import sampling
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.0, 5)], "doc_id long, lang string, priority double, tokens long"
+        )
+        out = sampling.token_budget_sample(df, sampling.temperature_budgets(df, 10))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan

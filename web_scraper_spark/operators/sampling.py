@@ -70,7 +70,15 @@ def token_budget_sample(
     buckets = buckets.withColumn(
         "cum_before", F.sum("bucket_tok").over(wb) - F.col("bucket_tok")
     )
-    if isinstance(budget_tokens, dict):
+    if isinstance(budget_tokens, DataFrame):
+        # computed-budget form (e.g. temperature_budgets): a frame with
+        # (stratum_col, _budget) — joined like the dict form, but the
+        # budgets never touch the driver
+        buckets = buckets.join(
+            F.broadcast(budget_tokens.select(stratum_col, "_budget")),
+            stratum_col,
+        )
+    elif isinstance(budget_tokens, dict):
         budgets = docs.sparkSession.createDataFrame(
             [(str(k), int(v)) for k, v in sorted(budget_tokens.items())],
             f"{stratum_col} string, _budget long",
@@ -375,4 +383,92 @@ def chunk_documents_sql(
             WHERE length(trim({text_col})) > 0
           )
         )
+    """
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixture budgets (multilingual T=0.5 sampling)
+# ---------------------------------------------------------------------------
+
+
+def temperature_budgets(
+    docs: DataFrame,
+    total_budget: int,
+    stratum_col: str = "lang",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Per-stratum budgets proportional to size^(1/2) — the standard
+    temperature-sampling rule (T=0.5) that upweights low-resource strata
+    relative to proportional sampling without flattening to uniform.
+    T is FIXED at 0.5 because sqrt is correctly rounded in IEEE-754 —
+    Spark and DuckDB produce the bit-identical weight, which a general
+    pow() would not guarantee cross-engine.
+
+    Returns (stratum_col, stratum_tokens, w_fp, _budget):
+    w_fp = round(sqrt(stratum token total) * 1e6) as int64, and
+    _budget = total_budget * w_fp div sum(w_fp) — all-integer division,
+    so budgets are hash-exact and sum to <= total_budget. Feed the frame
+    straight into token_budget_sample (the computed-budget form).
+
+    100 TB shape: ONE partial-aggregable groupBy(stratum) over the
+    corpus; the weight normalization is a crossJoin against a broadcast
+    1-row total — nothing touches the driver."""
+    per = (
+        docs.where(F.col(tokens_col) > 0)
+        .groupBy(stratum_col)
+        .agg(F.sum(tokens_col).alias("stratum_tokens"))
+        .withColumn(
+            "w_fp",
+            F.round(F.sqrt(F.col("stratum_tokens").cast("double")) * 1_000_000)
+            .cast("long"),
+        )
+    )
+    tot = per.agg(F.sum("w_fp").alias("_w_tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        stratum_col,
+        "stratum_tokens",
+        "w_fp",
+        F.expr(f"{int(total_budget)} * w_fp div _w_tot")
+        .cast("long")
+        .alias("_budget"),
+    )
+
+
+def temperature_budget_sample_sql(
+    table: str,
+    total_budget: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    priority_col: str = "priority",
+    tokens_col: str = "tokens",
+) -> str:
+    """DuckDB oracle for token_budget_sample(docs,
+    temperature_budgets(docs, total_budget)): the one-window statement
+    with the budget table COMPUTED by the same sqrt fixed-point rule."""
+    return f"""
+      WITH src AS (SELECT * FROM {table} WHERE {tokens_col} > 0),
+      per AS (
+        SELECT {stratum_col},
+               CAST(round(sqrt(CAST(sum({tokens_col}) AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS w_fp
+        FROM src GROUP BY 1
+      ),
+      b AS (
+        SELECT {stratum_col},
+               CAST({int(total_budget)} * w_fp //
+                    (SELECT sum(w_fp) FROM per) AS BIGINT) AS budget
+        FROM per
+      ),
+      ordered AS (
+        SELECT {id_col}, {stratum_col}, {tokens_col},
+               sum({tokens_col}) OVER (
+                 PARTITION BY {stratum_col}
+                 ORDER BY {priority_col} DESC, {id_col} ASC
+                 ROWS UNBOUNDED PRECEDING
+               ) AS cum_tokens
+        FROM src
+      )
+      SELECT o.{id_col}, o.{stratum_col}, o.{tokens_col}, o.cum_tokens
+      FROM ordered o JOIN b ON o.{stratum_col} = b.{stratum_col}
+      WHERE o.cum_tokens <= b.budget
     """
