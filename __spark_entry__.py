@@ -2014,6 +2014,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pair_corpus_clean_lang"] = q_pair_corpus_clean_lang
 
+    def q_pair_corpus_clean_safe(spark, sf_dir):
+        """pair_corpus_clean with the caption SAFETY gate: geometry +
+        caption-token filters → zero-tolerance banned-term cut
+        (curation.blocklist_filter's whole-token rule as pure codegen,
+        banned_frac riding on survivors) → the joint keep-set. Captions
+        containing a banned term injected on ids ending in 9 so the gate
+        provably fires; fully value-oracled."""
+        from web_scraper_spark import synth
+        from web_scraper_spark.functions.dedupops import register_op_cache
+        from web_scraper_spark.operators import pairs as pairs_ops
+
+        imgs = synth.images_df(spark, 512, seed=42).select(
+            "image_id", "w", "h", "fmt", "caption", "phash"
+        )
+        imgs = imgs.withColumn(
+            "caption",
+            F.when(
+                F.substring("image_id", 14, 1) == "9", F.lit(_BANNED_CAPTION)
+            ).otherwise(F.col("caption")),
+        )
+        imgs = register_op_cache(imgs)
+        return pairs_ops.pair_corpus_clean(imgs, max_banned_frac=0.0)
+
+    q["pair_corpus_clean_safe"] = q_pair_corpus_clean_safe
+
     def q_pair_corpus_clean_aligned(spark, sf_dir):
         """pair_corpus_clean with the CLIP-score alignment gate in its
         production position: geometry + caption-token filters → alignment
@@ -2214,6 +2239,7 @@ def _image_phash_values(n: int, seed: int) -> str:
 
 _BOILER_CAPTION = "stock photo of a sunset over the ocean"
 _GERMAN_CAPTION = "der hund ist nicht gross und die katze ist klein"
+_BANNED_CAPTION = "photo of spamterm content right here"
 
 # crawl_dedup_incremental corpus: phase A crawls a 2-host web (links can
 # only target hosts 0-1 — _out_links buckets by cfg.n_hosts), phase B
@@ -3606,6 +3632,54 @@ GROUP BY 1, 2
       )
       SELECT image_id, w, h, fmt, caption, phash,
              n_pixels, aspect, caption_tokens, caption_lang
+      FROM p
+      WHERE image_id NOT IN (SELECT image_id FROM img_drops)
+        AND image_id NOT IN (
+          SELECT id FROM exact_drops UNION SELECT id FROM near_drops)
+    """
+
+    # pair_corpus_clean_safe: the same closure with the zero-tolerance
+    # caption blocklist gate between the token filter and the dedup
+    # stages — blocklist_stats_sql replays the whole-token rule.
+    _cap_bl = blocklist_stats_sql("caption")
+    o["pair_corpus_clean_safe"] = f"""
+      WITH p0(image_id, w, h, fmt, caption0, phash) AS (VALUES {_pair_full}),
+      p1 AS (
+        SELECT image_id, w, h, fmt, phash,
+               CASE WHEN substr(image_id, 14, 1) = '9'
+                    THEN '{_BANNED_CAPTION}' ELSE caption0 END AS caption
+        FROM p0
+      ),
+      p AS (
+        SELECT image_id, w, h, fmt, caption, phash,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               round(greatest(w, h) / least(w, h), 6) AS aspect,
+               CAST({_cap_tok} AS INTEGER) AS caption_tokens,
+               {_cap_bl['banned_frac']} AS banned_frac
+        FROM p1
+        WHERE w * h >= 1024
+          AND greatest(w, h) / least(w, h) <= 4.0
+          AND {_cap_tok} >= 4
+          AND ({_cap_bl['banned_frac']}) <= 0.0
+      ),
+      img_drops AS (
+        SELECT DISTINCT b.image_id FROM p a JOIN p b
+          ON a.image_id < b.image_id
+         AND bit_count(xor(a.phash, b.phash)) <= 3
+      ),
+      fp AS (SELECT image_id AS id, {_cap_fp} AS fp FROM p),
+      exact_drops AS (
+        SELECT f.id FROM fp f
+        JOIN (SELECT fp, min(id) AS m FROM fp GROUP BY fp) g
+          ON f.fp = g.fp AND f.id <> g.m
+      ),
+      sh AS (SELECT image_id AS id, {_cap_sh} AS sh FROM p),
+      near_drops AS (
+        SELECT DISTINCT b.id FROM sh a JOIN sh b ON a.id < b.id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      )
+      SELECT image_id, w, h, fmt, caption, phash,
+             n_pixels, aspect, caption_tokens, banned_frac
       FROM p
       WHERE image_id NOT IN (SELECT image_id FROM img_drops)
         AND image_id NOT IN (

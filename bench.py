@@ -235,6 +235,7 @@ def bench_queries(spark):
         "pair_corpus_clean_quality": run("pair_corpus_clean_quality"),
         "pair_corpus_clean_aligned": run("pair_corpus_clean_aligned"),
         "pair_corpus_clean_lang": run("pair_corpus_clean_lang"),
+        "pair_corpus_clean_safe": run("pair_corpus_clean_safe"),
         "image_bucket_resize": run("image_bucket_resize"),
         "image_augment": run("image_augment"),
         "dedup_keep_set_incremental": run("dedup_keep_set_incremental"),

@@ -340,3 +340,26 @@ def test_pair_corpus_clean_language_gate(spark):
     assert set(got) == plain_ids - german_ids
     assert german_ids & plain_ids  # the drop path provably fired
     assert set(got.values()) <= {"en", "und"}
+
+
+def test_pair_corpus_clean_safety_gate(spark):
+    """max_banned_frac drops exactly the pairs whose caption carries a
+    banned term, before the keep-set; banned_frac rides on survivors."""
+    banned = "photo of spamterm content right here"
+    base = synth.images_df(spark, 64, seed=42).select(
+        "image_id", "w", "h", "fmt", "caption", "phash"
+    )
+    last = F.substring("image_id", 14, 1)
+    injected = base.withColumn(
+        "caption", F.when(last == "9", F.lit(banned)).otherwise(F.col("caption"))
+    )
+    gated = pairs_ops.pair_corpus_clean(injected, max_banned_frac=0.0)
+    plain = pairs_ops.pair_corpus_clean(base)
+    got = {r["image_id"]: r["banned_frac"] for r in gated.collect()}
+    plain_ids = {r["image_id"] for r in plain.collect()}
+    banned_ids = {
+        r["image_id"] for r in base.filter(last == "9").select("image_id").collect()
+    }
+    assert set(got) == plain_ids - banned_ids
+    assert banned_ids & plain_ids  # the drop path provably fired
+    assert all(v == 0.0 for v in got.values())

@@ -169,6 +169,7 @@ def pair_corpus_clean(
     min_ent_milli: int | None = None,
     min_alignment: float | None = None,
     allowed_langs: tuple[str, ...] | None = None,
+    max_banned_frac: float | None = None,
 ) -> DataFrame:
     """The full multimodal training-pair pipeline as ONE composite — the
     image twin of the text side's corpus_clean: (1) image geometry filter
@@ -176,8 +177,10 @@ def pair_corpus_clean(
     pipeline runs before any pixel work), (2) caption token-count filter,
     (2a) optionally the caption-language gate (pass ``allowed_langs`` —
     marker-argmax lang id as pure codegen, LAION-style per-language cut;
-    ``caption_lang`` rides on survivors), (2b) optionally the CLIP-score
-    alignment gate (pass min_alignment and
+    ``caption_lang`` rides on survivors) and/or the caption SAFETY gate
+    (pass ``max_banned_frac`` — curation.blocklist_filter's whole-token
+    rule; ``banned_frac`` rides on survivors), (2b) optionally the
+    CLIP-score alignment gate (pass min_alignment and
     an input carrying ``image_emb``/``caption_emb`` array columns from an
     upstream inference stage — simsearch.pair_alignment's rule, applied
     BEFORE the Arrow decode gate because the JVM cosine is cheaper than a
@@ -215,6 +218,20 @@ def pair_corpus_clean(
             & (F.col("caption_tokens") >= min_caption_tokens)
         )
     )
+    if max_banned_frac is not None:
+        from ..functions.curation import blocklist_stats_expr
+
+        # caption safety gate (the blocklist stage, pair form): same
+        # whole-token rule as curation.blocklist_filter, pure codegen
+        # before any embedding/pixel work; banned_frac rides on survivors
+        scored = (
+            scored.withColumn(
+                "_bs", blocklist_stats_expr(F.col("caption"))
+            )
+            .filter(F.col("_bs.banned_frac") <= float(max_banned_frac))
+            .withColumn("banned_frac", F.col("_bs.banned_frac"))
+            .drop("_bs")
+        )
     if allowed_langs is not None:
         from ..functions.textanalysis import lang_id_expr
 
