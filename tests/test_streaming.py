@@ -937,3 +937,49 @@ class TestStreamingPairLanguage:
         run()
         got2 = {r["image_id"] for r in spark.read.parquet(out).collect()}
         assert got2 == {"p-00", "p-10"}
+
+
+class TestStreamingPairSafety:
+    """curate_pairs_stream(max_banned_frac=...) — the caption safety gate
+    as a STATELESS in-stream stage with no ghost dedup state."""
+
+    def test_gate_drops_banned_without_state(self, spark, tmp_path):
+        from web_scraper_spark import synth
+        from web_scraper_spark.streaming.pair_stream import curate_pairs_stream
+
+        pairs = str(tmp_path / "pairs")
+        out = str(tmp_path / "kept")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(pairs, exist_ok=True)
+
+        def drop(rows):
+            from web_scraper_spark.streaming.pair_stream import (
+                PAIRS_STREAM_SCHEMA,
+            )
+
+            spark.createDataFrame(rows, PAIRS_STREAM_SCHEMA).coalesce(
+                1
+            ).write.mode("append").parquet(pairs)
+
+        def run():
+            curate_pairs_stream(
+                spark, pairs, out, ckpt, max_banned_frac=0.0
+            ).awaitTermination()
+
+        en = "a detailed photo of subject number %d in context"
+        bad = "photo of spamterm content right here"
+        drop([
+            TestStreamingPairCuration._pair("p-00", synth.gen_pixels(0, 42), en % 0, 1.0),
+            TestStreamingPairCuration._pair("p-01", synth.gen_pixels(5, 42), bad, 1.0),
+        ])
+        run()
+        got1 = {r["image_id"] for r in spark.read.parquet(out).collect()}
+        assert got1 == {"p-00"}
+
+        drop([
+            TestStreamingPairCuration._pair("p-10", synth.gen_pixels(5, 42), en % 10, 2.0),
+            TestStreamingPairCuration._pair("p-11", synth.gen_pixels(0, 42), en % 11, 2.0),
+        ])
+        run()
+        got2 = {r["image_id"] for r in spark.read.parquet(out).collect()}
+        assert got2 == {"p-00", "p-10"}  # no ghost state; real dup suppressed

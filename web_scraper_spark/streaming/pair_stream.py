@@ -74,6 +74,7 @@ def curate_pairs_stream(
     min_ent_milli: int = 4_000,
     min_alignment: float | None = None,
     allowed_langs: tuple[str, ...] | None = None,
+    max_banned_frac: float | None = None,
     ttl: float | None = None,
 ):
     """Start the pair-curation stream (availableNow trigger: drains
@@ -91,10 +92,12 @@ def curate_pairs_stream(
     embedding arrays are dropped at the gate so neither the dedup state
     nor the shuffle ever carries a vector payload.
 
-    With ``allowed_langs`` set, the batch composite's caption-language
-    gate (pairs.pair_corpus_clean 2a: marker-argmax lang id) also runs
-    STATELESS after the metadata filters — same codegen rule, same drop
-    decisions as the batch path, no state store, no exchange."""
+    With ``allowed_langs`` and/or ``max_banned_frac`` set, the batch
+    composite's caption-language gate (pairs.pair_corpus_clean 2a:
+    marker-argmax lang id) and caption SAFETY gate (the blocklist
+    whole-token rule) also run STATELESS after the metadata filters —
+    same codegen rules, same drop decisions as the batch path, no state
+    store, no exchange."""
     schema = (
         PAIRS_EMB_STREAM_SCHEMA if min_alignment is not None
         else PAIRS_STREAM_SCHEMA
@@ -114,6 +117,13 @@ def curate_pairs_stream(
             & (F.col("caption_tokens") >= min_caption_tokens)
         )
     )
+    if max_banned_frac is not None:
+        from ..functions.curation import blocklist_stats_expr
+
+        scored = scored.filter(
+            blocklist_stats_expr(F.col("caption"))["banned_frac"]
+            <= F.lit(float(max_banned_frac))
+        )
     if allowed_langs is not None:
         from ..functions.textanalysis import lang_id_expr
 
