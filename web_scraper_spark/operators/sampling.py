@@ -411,8 +411,10 @@ def temperature_budgets(
     straight into token_budget_sample (the computed-budget form).
 
     100 TB shape: ONE partial-aggregable groupBy(stratum) over the
-    corpus; the weight normalization is a crossJoin against a broadcast
-    1-row total — nothing touches the driver."""
+    corpus; the weight normalization is a global window over the
+    STRATUM aggregate — a frame bounded by the number of strata
+    (the vocab-rank idiom), not a corpus window and not a cartesian —
+    and nothing touches the driver."""
     per = (
         docs.where(F.col(tokens_col) > 0)
         .groupBy(stratum_col)
@@ -423,8 +425,12 @@ def temperature_budgets(
             .cast("long"),
         )
     )
-    tot = per.agg(F.sum("w_fp").alias("_w_tot"))
-    return per.crossJoin(F.broadcast(tot)).select(
+    w_tot = F.sum("w_fp").over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return per.withColumn("_w_tot", w_tot).select(
         stratum_col,
         "stratum_tokens",
         "w_fp",
